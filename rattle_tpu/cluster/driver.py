@@ -1,0 +1,389 @@
+"""TPU-batched greedy clustering driver.
+
+Restructures the reference's inherently sequential greedy loop
+(cluster.cpp:124-166) into device-sized batches while preserving EXACT
+semantics.  The key observation: the pair decision ``cluster_together(i, j)``
+is a pure function of the two reads (no clustering state), so the greedy
+outcome is fully determined by the pairwise decision values.  We therefore:
+
+1. pick the next S unclustered seeds speculatively (some may be absorbed by
+   an earlier seed in the same batch — their columns are simply discarded),
+2. compute all seed x pool decisions in batched device calls
+   (bitvector gate -> match-count bucketing -> join+LIS scoring),
+3. replay the reference's sequential absorption on the host with bitmaps.
+
+The same machinery drives the representative-vs-representative merge rounds
+(cluster.cpp:171-256).  Exactness escapes: pairs whose match list overflows
+the largest device bucket, or whose f32 variance lands inside a borderline
+band around t_v, are re-scored exactly on the host with the NumPy oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ClusterParams, bv_threshold_schedule
+from ..io.hpsio import Cluster, CSeq
+from ..ops import gates
+from ..ops.encode import encode_seq
+from ..ops.similarity import bv_gate, pair_match_counts, score_pairs
+from ..ops.sketch import SketchTables, build_sketch_tables
+from . import oracle
+
+# match-count bucket -> pair-batch chunk size (pairs padded to the chunk)
+M_BUCKETS: Tuple[Tuple[int, int], ...] = ((128, 2048), (512, 512), (2048, 128), (8192, 32))
+SEED_BATCH = 64
+VAR_BAND_REL = 0.02
+
+
+def _pad_pow2(n: int, lo: int = 64) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+class TpuClusterEngine:
+    """Clusters one read set; drop-in ``engine`` for pipeline.run_cluster."""
+
+    def __init__(self, seqs: Sequence[str], params: ClusterParams):
+        self.seqs = list(seqs)
+        self.p = params
+        self.n = len(seqs)
+        self.read_lens = [len(s) for s in seqs]
+        self.tables: SketchTables = build_sketch_tables(
+            self.seqs, params.kmer_size, not params.is_rna)
+        t = self.tables
+        self.d_hbp = jnp.asarray(t.hbp)
+        self.d_hs = jnp.asarray(t.hs)
+        self.d_ps = jnp.asarray(t.ps)
+        self.d_nk = jnp.asarray(t.nk)
+        self.d_bvp = jnp.asarray(t.bvp)
+        self.d_bvc = jnp.asarray(t.bvc)
+        if not params.is_rna:
+            self.d_rev_hs = jnp.asarray(t.rev_hs)
+            self.d_rev_ps = jnp.asarray(t.rev_ps)
+            self.d_rev_bvp = jnp.asarray(t.rev_bvp)
+        self.score_min = gates.min_numerator_table(
+            max(self.read_lens), params.t_s)
+        self._bv_tables: Dict[float, jnp.ndarray] = {}
+        self._oracle_kmers: Dict[int, oracle.ReadKmers] = {}
+        self.n_oracle_fallbacks = 0
+
+    # ---------- exact host fallback ----------
+
+    def _okm(self, i: int) -> oracle.ReadKmers:
+        km = self._oracle_kmers.get(i)
+        if km is None:
+            km = oracle.extract_kmers(
+                encode_seq(self.seqs[i]), self.p.kmer_size, not self.p.is_rna)
+            self._oracle_kmers[i] = km
+        return km
+
+    def _oracle_decide(self, i: int, j: int, threshold: float) -> Tuple[bool, bool]:
+        class _KmProxy:
+            def __init__(self, outer):
+                self.outer = outer
+
+            def __getitem__(self, idx):
+                return self.outer._okm(idx)
+
+        self.n_oracle_fallbacks += 1
+        res = oracle.cluster_together(
+            self.read_lens, _KmProxy(self), i, j, self.p, threshold)
+        if res is None:
+            return False, False
+        return True, res.rev
+
+    # ---------- device phases ----------
+
+    def _bv_table(self, threshold: float) -> jnp.ndarray:
+        tab = self._bv_tables.get(threshold)
+        if tab is None:
+            tab = jnp.asarray(gates.min_numerator_table(4096, threshold))
+            self._bv_tables[threshold] = tab
+        return tab
+
+    def _gate(self, pool: np.ndarray, seeds: np.ndarray, threshold: float):
+        """Returns (fwd_pass [P,S], rev_pass [P,S] or None) as host bools.
+
+        Orientation: seed is read ``i`` of cluster_together, pool entries are
+        ``j`` — the forward gate ANDs fwd(i) with fwd(j), the reverse gate
+        ANDs fwd(i) with rev(j) (cluster.cpp:13-14)."""
+        tab = self._bv_table(threshold)
+        np_, ns = len(pool), len(seeds)
+        # pad to stable shapes so jit caches across shrinking pools
+        ppad = _pad_pow2(np_, 256)
+        spad = SEED_BATCH
+        pool_p = np.zeros(ppad, np.int32)
+        pool_p[:np_] = pool
+        seeds_p = np.zeros(spad, np.int32)
+        seeds_p[:ns] = seeds
+        d_pool = jnp.asarray(pool_p)
+        d_seeds = jnp.asarray(seeds_p)
+        bvp_pool = jnp.take(self.d_bvp, d_pool, axis=0)
+        bvc_pool = jnp.take(self.d_bvc, d_pool, axis=0)
+        bvp_seeds = jnp.take(self.d_bvp, d_seeds, axis=0)
+        bvc_seeds = jnp.take(self.d_bvc, d_seeds, axis=0)
+        fwd, _ = bv_gate(bvp_pool, bvc_pool, bvp_seeds, bvc_seeds, tab)
+        fwd = np.asarray(fwd)[:np_, :ns]
+        rev = None
+        if not self.p.is_rna:
+            rev_bvp_pool = jnp.take(self.d_rev_bvp, d_pool, axis=0)
+            r, _ = bv_gate(rev_bvp_pool, bvc_pool, bvp_seeds, bvc_seeds, tab)
+            rev = np.asarray(r)[:np_, :ns]
+        return fwd, rev
+
+    def _score_batch(self, a_ids: np.ndarray, b_ids: np.ndarray,
+                     b_rev: np.ndarray) -> Dict[str, np.ndarray]:
+        """Join+LIS scores for pairs (a=seed read, b=candidate read).
+
+        Returns bases/hc/var/n_dist/overflow arrays aligned with the input."""
+        nb = len(a_ids)
+        out = {
+            "bases": np.zeros(nb, np.int32),
+            "hc": np.zeros(nb, np.int32),
+            "var": np.zeros(nb, np.float32),
+            "n_dist": np.zeros(nb, np.int32),
+            "overflow": np.zeros(nb, bool),
+        }
+        if nb == 0:
+            return out
+
+        def gather_b(ids, rev_mask):
+            ids = jnp.asarray(ids)
+            if self.p.is_rna or not rev_mask.any():
+                return (jnp.take(self.d_hs, ids, axis=0),
+                        jnp.take(self.d_ps, ids, axis=0))
+            rm = jnp.asarray(rev_mask)[:, None]
+            hs = jnp.where(rm, jnp.take(self.d_rev_hs, ids, axis=0),
+                           jnp.take(self.d_hs, ids, axis=0))
+            ps = jnp.where(rm, jnp.take(self.d_rev_ps, ids, axis=0),
+                           jnp.take(self.d_ps, ids, axis=0))
+            return hs, ps
+
+        # pass 1: match counts for bucketing
+        bpad = _pad_pow2(nb)
+        a_pad = np.zeros(bpad, np.int32)
+        b_pad = np.zeros(bpad, np.int32)
+        r_pad = np.zeros(bpad, bool)
+        a_pad[:nb], b_pad[:nb], r_pad[:nb] = a_ids, b_ids, b_rev
+        hbp_a = jnp.take(self.d_hbp, jnp.asarray(a_pad), axis=0)
+        nk_a = jnp.take(self.d_nk, jnp.asarray(a_pad), axis=0)
+        hs_b, _ = gather_b(b_pad, r_pad)
+        nk_b = jnp.take(self.d_nk, jnp.asarray(b_pad), axis=0)
+        counts = np.asarray(pair_match_counts(hbp_a, nk_a, hs_b, nk_b))[:nb]
+
+        # pass 2: bucketed scoring
+        remaining = np.arange(nb)
+        max_m = M_BUCKETS[-1][0]
+        out["overflow"] = counts > max_m
+        for m_cap, chunk in M_BUCKETS:
+            lower = 0 if m_cap == M_BUCKETS[0][0] else prev_cap
+            sel = remaining[(counts[remaining] > lower) & (counts[remaining] <= m_cap)] \
+                if m_cap != M_BUCKETS[0][0] else remaining[counts[remaining] <= m_cap]
+            prev_cap = m_cap
+            for start in range(0, len(sel), chunk):
+                idx = sel[start:start + chunk]
+                a_c = np.zeros(chunk, np.int32)
+                b_c = np.zeros(chunk, np.int32)
+                r_c = np.zeros(chunk, bool)
+                a_c[: len(idx)] = a_ids[idx]
+                b_c[: len(idx)] = b_ids[idx]
+                r_c[: len(idx)] = b_rev[idx]
+                hbp_a = jnp.take(self.d_hbp, jnp.asarray(a_c), axis=0)
+                nk_a = jnp.take(self.d_nk, jnp.asarray(a_c), axis=0)
+                hs_b, ps_b = gather_b(b_c, r_c)
+                nk_b = jnp.take(self.d_nk, jnp.asarray(b_c), axis=0)
+                bases, hc, var, n_dist, _tot = score_pairs(
+                    hbp_a, nk_a, hs_b, ps_b, nk_b, m_cap, self.p.kmer_size,
+                    self.p.hc_max_dist)
+                out["bases"][idx] = np.asarray(bases)[: len(idx)]
+                out["hc"][idx] = np.asarray(hc)[: len(idx)]
+                out["var"][idx] = np.asarray(var)[: len(idx)]
+                out["n_dist"][idx] = np.asarray(n_dist)[: len(idx)]
+        return out
+
+    # ---------- decision assembly ----------
+
+    def _decide_pairs(self, seeds: np.ndarray, pool: np.ndarray,
+                      threshold: float,
+                      seed_reads: Optional[np.ndarray] = None,
+                      pool_reads: Optional[np.ndarray] = None):
+        """Decision matrix [P, S]: 0 = no, 1 = forward match, 2 = reverse.
+
+        ``seeds``/``pool`` are the greedy-order ids (read ids in the seeding
+        phase, cluster ids in merge rounds); ``*_reads`` map them to the read
+        ids actually scored (cluster representatives in merge rounds)."""
+        if seed_reads is None:
+            seed_reads = seeds
+        if pool_reads is None:
+            pool_reads = pool
+        fwd_gate, rev_gate = self._gate(pool_reads, seed_reads, threshold)
+
+        p_idx, s_idx = np.nonzero(fwd_gate)
+        fwd_scores = self._score_batch(
+            seed_reads[s_idx], pool_reads[p_idx], np.zeros(len(p_idx), bool))
+        decision = np.zeros((len(pool), len(seeds)), np.int8)
+
+        def apply(scores, p_i, s_i, rev: bool):
+            a = seed_reads[s_i]
+            b = pool_reads[p_i]
+            mn = np.minimum(np.asarray(self.read_lens)[a],
+                            np.asarray(self.read_lens)[b])
+            metric = scores["hc"] if self.p.use_hc else scores["bases"]
+            score_ok = metric >= self.score_min[mn]
+            var = scores["var"]
+            band = VAR_BAND_REL * max(self.p.t_v, 1.0)
+            borderline = np.abs(var - self.p.t_v) <= band
+            var_ok = var < self.p.t_v
+            win = score_ok & var_ok & ~scores["overflow"] & ~borderline
+            needs_host = (scores["overflow"] | (score_ok & borderline))
+            return win, needs_host
+
+        fwd_win, fwd_host = apply(fwd_scores, p_idx, s_idx, False)
+        for t in np.nonzero(fwd_host)[0]:
+            ok, rv = self._oracle_exact_one(
+                int(seed_reads[s_idx[t]]), int(pool_reads[p_idx[t]]),
+                threshold, rev=False)
+            fwd_win[t] = ok
+        decision[p_idx[fwd_win], s_idx[fwd_win]] = 1
+
+        if not self.p.is_rna:
+            # reverse path: evaluated by the reference only when the forward
+            # path failed (cluster.cpp:40-63); computing it for all rev-gated
+            # pairs and masking is equivalent
+            rp_idx, rs_idx = np.nonzero(rev_gate & (decision == 0))
+            if len(rp_idx):
+                rev_scores = self._score_batch(
+                    seed_reads[rs_idx], pool_reads[rp_idx],
+                    np.ones(len(rp_idx), bool))
+                rev_win, rev_host = apply(rev_scores, rp_idx, rs_idx, True)
+                for t in np.nonzero(rev_host)[0]:
+                    ok, _ = self._oracle_exact_one(
+                        int(seed_reads[rs_idx[t]]), int(pool_reads[rp_idx[t]]),
+                        threshold, rev=True)
+                    rev_win[t] = ok
+                decision[rp_idx[rev_win], rs_idx[rev_win]] = 2
+        return decision
+
+    def _oracle_exact_one(self, a: int, b: int, threshold: float, rev: bool):
+        """Exact scalar re-evaluation of one strand of one pair."""
+        ka, kb = self._okm(a), self._okm(b)
+        if rev:
+            m1, m2 = oracle.common_kmers(ka.hashes, ka.positions,
+                                         kb.rev_hashes, kb.rev_positions)
+        else:
+            m1, m2 = oracle.common_kmers(ka.hashes, ka.positions,
+                                         kb.hashes, kb.positions)
+        self.n_oracle_fallbacks += 1
+        sim = oracle.calc_similarity(m1, m2, self.p.kmer_size, self.p.hc_max_dist)
+        mn = float(min(self.read_lens[a], self.read_lens[b]))
+        metric = sim.hc_bases if self.p.use_hc else sim.bases
+        from ..utils.varmath import var as exact_var
+        ok = (metric / mn >= self.p.t_s) and (exact_var(sim.distances) < self.p.t_v)
+        return ok, rev
+
+    # ---------- greedy phases ----------
+
+    def _greedy(self, order: np.ndarray, threshold: float,
+                seed_reads_of: Optional[np.ndarray] = None):
+        """Generic greedy sweep over ``order`` (ascending ids).  Returns the
+        list of (seed_id, [(member_id, rev), ...]) in seed order."""
+        n = len(order)
+        already = np.zeros(n, bool)
+        groups: List[Tuple[int, List[Tuple[int, bool]]]] = []
+        reads_of = seed_reads_of if seed_reads_of is not None else order
+
+        pos = 0
+        while pos < n:
+            seed_positions = []
+            q = pos
+            while q < n and len(seed_positions) < SEED_BATCH:
+                if not already[q]:
+                    seed_positions.append(q)
+                q += 1
+            if not seed_positions:
+                break
+            seed_positions = np.array(seed_positions)
+            pool_positions = np.nonzero(~already)[0]
+            pool_positions = pool_positions[pool_positions > seed_positions[0]]
+            if len(pool_positions) == 0:
+                for sp in seed_positions:
+                    if not already[sp]:
+                        already[sp] = True
+                        groups.append((int(order[sp]), [(int(order[sp]), False)]))
+                pos = q
+                continue
+
+            decision = self._decide_pairs(
+                order[seed_positions], order[pool_positions], threshold,
+                seed_reads=reads_of[seed_positions],
+                pool_reads=reads_of[pool_positions])
+
+            for col, sp in enumerate(seed_positions):
+                if already[sp]:
+                    continue  # absorbed by an earlier seed in this batch
+                already[sp] = True
+                members = [(int(order[sp]), False)]
+                dcol = decision[:, col]
+                for row, pp in enumerate(pool_positions):
+                    if already[pp] or pp <= sp:
+                        continue
+                    if dcol[row]:
+                        already[pp] = True
+                        members.append((int(order[pp]), dcol[row] == 2))
+                groups.append((int(order[sp]), members))
+            pos = q
+            while pos < n and already[pos]:
+                pos += 1
+        return groups
+
+    def cluster(self) -> List[Cluster]:
+        p = self.p
+        order = np.arange(self.n)
+
+        # --- greedy seeding (cluster.cpp:124-166) ---
+        groups = self._greedy(order, p.bv_threshold)
+        clusters: List[Cluster] = []
+        for _seed, members in groups:
+            cseqs = [CSeq(m, r) for m, r in members]
+            main = oracle.get_main_seq(cseqs, self.read_lens, p.repr_percentile)
+            clusters.append(Cluster(main, cseqs))
+
+        # --- merge rounds (cluster.cpp:171-256) ---
+        for threshold in bv_threshold_schedule(p):
+            nc = len(clusters)
+            cluster_ids = np.arange(nc)
+            reps = np.array([c.main_seq.seq_id for c in clusters])
+            merge_groups = self._greedy(cluster_ids, threshold,
+                                        seed_reads_of=reps)
+            tmp: List[Cluster] = []
+            for _seed_cid, members in merge_groups:
+                original_rev = members[0][1]  # always False
+                merged = Cluster(CSeq(-1, False), [])
+                for cid, rev in members:
+                    flip = rev != original_rev
+                    for s in clusters[cid].seqs:
+                        merged.seqs.append(
+                            CSeq(s.seq_id, (not s.rev) if flip else s.rev, s.gene_id))
+                merged.main_seq = oracle.get_main_seq(
+                    merged.seqs, self.read_lens, p.repr_percentile)
+                tmp.append(merged)
+            clusters = tmp
+        return clusters
+
+
+ORACLE_CUTOVER = 48  # below this many reads the NumPy oracle is faster
+
+
+def cluster_reads_tpu(seqs: Sequence[str], params: ClusterParams) -> List[Cluster]:
+    """Engine entry point for pipeline.run_cluster."""
+    if len(seqs) < ORACLE_CUTOVER:
+        return oracle.cluster_reads(seqs, params)
+    return TpuClusterEngine(seqs, params).cluster()

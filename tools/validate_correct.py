@@ -1,0 +1,75 @@
+"""Run the correct stage on the full toyset with the oracle POA engine and
+measure consensus agreement against the golden consensi.fq.
+
+The goldens come from an older reference build (different header grammar), so
+this is a sequence-level similarity check, not byte parity: for each golden
+consensus, find our consensus for the same cluster id and report 20-mer
+containment both ways.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from rattle_tpu.config import CorrectParams  # noqa: E402
+from rattle_tpu.correct.driver import correct_reads  # noqa: E402
+from rattle_tpu.io import fastx, hpsio  # noqa: E402
+
+REF_OUT = "/root/reference/toyset/rna/output"
+
+
+def kmer_containment(a: str, b: str, k: int = 20) -> float:
+    if len(a) < k or len(b) < k:
+        return 0.0
+    kb = set(b[i:i + k] for i in range(len(b) - k + 1))
+    hits = sum(1 for i in range(len(a) - k + 1) if a[i:i + k] in kb)
+    return hits / (len(a) - k + 1)
+
+
+def main():
+    sample = sys.argv[1] if len(sys.argv) > 1 else "testdata/sample.fastq"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ours_consensi.fq"
+    reads = fastx.read_multiple_inputs([sample], [])
+    clusters = hpsio.read_clusters(os.path.join(REF_OUT, "clusters.out"))
+    t0 = time.time()
+    res = correct_reads(clusters, reads, CorrectParams())
+    dt = time.time() - t0
+    print(f"correct stage: {dt:.1f}s  corrected={len(res.corrected)} "
+          f"uncorrected={len(res.uncorrected)} consensi={len(res.consensi)}",
+          flush=True)
+    fastx.write_fastq(res.consensi, out_path)
+
+    golden = fastx.read_fastq_plain(os.path.join(REF_OUT, "consensi.fq"))
+    gid_of = {}
+    for g in golden:
+        cid = int(g.header.split()[0].rsplit("_", 1)[1])
+        gid_of[cid] = g
+    ours_of = {}
+    for r in res.consensi:
+        cid = int(r.header.split()[0].rsplit("_", 1)[1])
+        ours_of[cid] = r
+
+    both = sorted(set(gid_of) & set(ours_of))
+    print(f"golden consensi: {len(golden)}  ours: {len(res.consensi)}  "
+          f"shared cluster ids: {len(both)}", flush=True)
+    scores = []
+    for cid in both:
+        s = kmer_containment(gid_of[cid].seq, ours_of[cid].seq)
+        scores.append((s, cid))
+    scores.sort()
+    import statistics
+    vals = [s for s, _ in scores]
+    print(f"golden-in-ours 20-mer containment: mean={statistics.mean(vals):.4f} "
+          f"median={statistics.median(vals):.4f} min={vals[0]:.4f}")
+    print("worst 10:", [(round(s, 3), c) for s, c in scores[:10]])
+    lens = [(len(gid_of[c].seq), len(ours_of[c].seq)) for c in both]
+    dl = [abs(a - b) / max(a, b) for a, b in lens]
+    print(f"length rel-diff: mean={statistics.mean(dl):.4f} max={max(dl):.4f}")
+
+
+if __name__ == "__main__":
+    main()
