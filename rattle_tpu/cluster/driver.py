@@ -39,6 +39,8 @@ from . import oracle
 M_BUCKETS: Tuple[Tuple[int, int], ...] = ((128, 2048), (512, 512), (2048, 128), (8192, 32))
 SEED_BATCH = 64
 VAR_BAND_REL = 0.02
+MC_CHUNK = 8192        # pairs per match-count device call
+K_SMALL = 1152         # small k-mer-table bucket (most nanopore reads fit)
 
 
 def _pad_pow2(n: int, lo: int = 64) -> int:
@@ -74,6 +76,21 @@ class TpuClusterEngine:
         self._bv_tables: Dict[float, jnp.ndarray] = {}
         self._oracle_kmers: Dict[int, oracle.ReadKmers] = {}
         self.n_oracle_fallbacks = 0
+        # small-K table slices: most reads are short, so most pair batches
+        # can gather from a narrow table (4x less HBM traffic)
+        self.ksmall = min(K_SMALL, t.kmax)
+        if t.kmax > self.ksmall:
+            self.d_hbp_s = self.d_hbp[:, : self.ksmall]
+            self.d_hs_s = self.d_hs[:, : self.ksmall]
+            self.d_ps_s = self.d_ps[:, : self.ksmall]
+            if not params.is_rna:
+                self.d_rev_hs_s = self.d_rev_hs[:, : self.ksmall]
+                self.d_rev_ps_s = self.d_rev_ps[:, : self.ksmall]
+        else:
+            self.d_hbp_s, self.d_hs_s, self.d_ps_s = self.d_hbp, self.d_hs, self.d_ps
+            if not params.is_rna:
+                self.d_rev_hs_s, self.d_rev_ps_s = self.d_rev_hs, self.d_rev_ps
+        self.nk_host = t.nk
 
     # ---------- exact host fallback ----------
 
@@ -139,11 +156,21 @@ class TpuClusterEngine:
             rev = np.asarray(r)[:np_, :ns]
         return fwd, rev
 
+    def _tables_for(self, small: bool):
+        if small:
+            return (self.d_hbp_s, self.d_hs_s, self.d_ps_s,
+                    getattr(self, "d_rev_hs_s", None),
+                    getattr(self, "d_rev_ps_s", None))
+        return (self.d_hbp, self.d_hs, self.d_ps,
+                getattr(self, "d_rev_hs", None), getattr(self, "d_rev_ps", None))
+
     def _score_batch(self, a_ids: np.ndarray, b_ids: np.ndarray,
                      b_rev: np.ndarray) -> Dict[str, np.ndarray]:
         """Join+LIS scores for pairs (a=seed read, b=candidate read).
 
-        Returns bases/hc/var/n_dist/overflow arrays aligned with the input."""
+        Returns bases/hc/var/n_dist/overflow arrays aligned with the input.
+        Pairs are split into a small-K and a full-K size class so the common
+        case gathers narrow tables."""
         nb = len(a_ids)
         out = {
             "bases": np.zeros(nb, np.int32),
@@ -154,40 +181,54 @@ class TpuClusterEngine:
         }
         if nb == 0:
             return out
+        small_mask = np.maximum(self.nk_host[a_ids], self.nk_host[b_ids]) <= self.ksmall
+        for small in (True, False):
+            cls = np.nonzero(small_mask == small)[0]
+            if len(cls):
+                self._score_class(a_ids[cls], b_ids[cls], b_rev[cls], cls,
+                                  small, out)
+        return out
+
+    def _score_class(self, a_ids, b_ids, b_rev, out_idx, small: bool, out):
+        d_hbp, d_hs, d_ps, d_rev_hs, d_rev_ps = self._tables_for(small)
+        nb = len(a_ids)
 
         def gather_b(ids, rev_mask):
             ids = jnp.asarray(ids)
             if self.p.is_rna or not rev_mask.any():
-                return (jnp.take(self.d_hs, ids, axis=0),
-                        jnp.take(self.d_ps, ids, axis=0))
+                return jnp.take(d_hs, ids, axis=0), jnp.take(d_ps, ids, axis=0)
             rm = jnp.asarray(rev_mask)[:, None]
-            hs = jnp.where(rm, jnp.take(self.d_rev_hs, ids, axis=0),
-                           jnp.take(self.d_hs, ids, axis=0))
-            ps = jnp.where(rm, jnp.take(self.d_rev_ps, ids, axis=0),
-                           jnp.take(self.d_ps, ids, axis=0))
+            hs = jnp.where(rm, jnp.take(d_rev_hs, ids, axis=0),
+                           jnp.take(d_hs, ids, axis=0))
+            ps = jnp.where(rm, jnp.take(d_rev_ps, ids, axis=0),
+                           jnp.take(d_ps, ids, axis=0))
             return hs, ps
 
-        # pass 1: match counts for bucketing
-        bpad = _pad_pow2(nb)
-        a_pad = np.zeros(bpad, np.int32)
-        b_pad = np.zeros(bpad, np.int32)
-        r_pad = np.zeros(bpad, bool)
-        a_pad[:nb], b_pad[:nb], r_pad[:nb] = a_ids, b_ids, b_rev
-        hbp_a = jnp.take(self.d_hbp, jnp.asarray(a_pad), axis=0)
-        nk_a = jnp.take(self.d_nk, jnp.asarray(a_pad), axis=0)
-        hs_b, _ = gather_b(b_pad, r_pad)
-        nk_b = jnp.take(self.d_nk, jnp.asarray(b_pad), axis=0)
-        counts = np.asarray(pair_match_counts(hbp_a, nk_a, hs_b, nk_b))[:nb]
+        # pass 1: match counts for bucketing (chunked)
+        counts = np.zeros(nb, np.int32)
+        for start in range(0, nb, MC_CHUNK):
+            n_here = min(MC_CHUNK, nb - start)
+            bpad = _pad_pow2(n_here)
+            a_pad = np.zeros(bpad, np.int32)
+            b_pad = np.zeros(bpad, np.int32)
+            r_pad = np.zeros(bpad, bool)
+            sl = slice(start, start + n_here)
+            a_pad[:n_here], b_pad[:n_here], r_pad[:n_here] = \
+                a_ids[sl], b_ids[sl], b_rev[sl]
+            hbp_a = jnp.take(d_hbp, jnp.asarray(a_pad), axis=0)
+            nk_a = jnp.take(self.d_nk, jnp.asarray(a_pad), axis=0)
+            hs_b, _ = gather_b(b_pad, r_pad)
+            nk_b = jnp.take(self.d_nk, jnp.asarray(b_pad), axis=0)
+            counts[sl] = np.asarray(
+                pair_match_counts(hbp_a, nk_a, hs_b, nk_b))[:n_here]
 
-        # pass 2: bucketed scoring
-        remaining = np.arange(nb)
+        # pass 2: bucketed scoring; zero-match pairs stay at bases == 0
         max_m = M_BUCKETS[-1][0]
-        out["overflow"] = counts > max_m
+        out["overflow"][out_idx] = counts > max_m
+        lower = 0
         for m_cap, chunk in M_BUCKETS:
-            lower = 0 if m_cap == M_BUCKETS[0][0] else prev_cap
-            sel = remaining[(counts[remaining] > lower) & (counts[remaining] <= m_cap)] \
-                if m_cap != M_BUCKETS[0][0] else remaining[counts[remaining] <= m_cap]
-            prev_cap = m_cap
+            sel = np.nonzero((counts > lower) & (counts <= m_cap))[0]
+            lower = m_cap
             for start in range(0, len(sel), chunk):
                 idx = sel[start:start + chunk]
                 a_c = np.zeros(chunk, np.int32)
@@ -196,18 +237,18 @@ class TpuClusterEngine:
                 a_c[: len(idx)] = a_ids[idx]
                 b_c[: len(idx)] = b_ids[idx]
                 r_c[: len(idx)] = b_rev[idx]
-                hbp_a = jnp.take(self.d_hbp, jnp.asarray(a_c), axis=0)
+                hbp_a = jnp.take(d_hbp, jnp.asarray(a_c), axis=0)
                 nk_a = jnp.take(self.d_nk, jnp.asarray(a_c), axis=0)
                 hs_b, ps_b = gather_b(b_c, r_c)
                 nk_b = jnp.take(self.d_nk, jnp.asarray(b_c), axis=0)
                 bases, hc, var, n_dist, _tot = score_pairs(
                     hbp_a, nk_a, hs_b, ps_b, nk_b, m_cap, self.p.kmer_size,
                     self.p.hc_max_dist)
-                out["bases"][idx] = np.asarray(bases)[: len(idx)]
-                out["hc"][idx] = np.asarray(hc)[: len(idx)]
-                out["var"][idx] = np.asarray(var)[: len(idx)]
-                out["n_dist"][idx] = np.asarray(n_dist)[: len(idx)]
-        return out
+                gi = out_idx[idx]
+                out["bases"][gi] = np.asarray(bases)[: len(idx)]
+                out["hc"][gi] = np.asarray(hc)[: len(idx)]
+                out["var"][gi] = np.asarray(var)[: len(idx)]
+                out["n_dist"][gi] = np.asarray(n_dist)[: len(idx)]
 
     # ---------- decision assembly ----------
 

@@ -1,0 +1,194 @@
+"""Batched pack runner: drives many POA graphs through the device kernel in
+lockstep (the TPU production path for the correct stage).
+
+Lane b holds pack b's growing graph; at step t every lane aligns its t-th
+read in ONE device call (ops/poa_device.poa_align_batch), then the host
+threads the alignments into the graphs and re-ranks them.  Packs whose graph
+outgrows the lane capacity fall back to the NumPy oracle aligner for their
+remaining reads — results are identical by construction (the kernel matches
+the oracle exactly; tests/test_poa_device.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import CorrectParams
+from ..io.fastx import Read, sort_read_set
+from ..ops import poa
+from ..ops.poa_device import alignment_to_host, poa_align_batch
+from .consensus import correct_read_pack, fix_msa_ends, generate_consensus_vector
+
+PMAX = 8          # predecessor cap per node; overflow -> oracle fallback
+LANES = 8         # packs in flight per device call
+
+
+def _round_pow2(x: int, lo: int) -> int:
+    p = lo
+    while p < x:
+        p *= 2
+    return p
+
+
+class _LaneState:
+    """One pack's graph; native C++ graph when available, Python otherwise."""
+
+    def __init__(self, seqs: List[str], n_cap: int, l_cap: int):
+        from .. import native
+        self.native = native.available()
+        self.graph = native.NativePoaGraph() if self.native else poa.POAGraph()
+        self.seqs = seqs
+        self.next_read = 0
+        self.n_cap = n_cap
+        self.l_cap = l_cap
+        self.fallback = False
+        self.rank_nodes: List[int] = []
+        self.pred_arr = np.full((n_cap, PMAX), -1, dtype=np.int32)
+        self.letter_arr = np.zeros(n_cap, dtype=np.uint8)
+
+    def n_nodes(self) -> int:
+        return self.graph.n_nodes()
+
+    def add_alignment(self, aln, seq: str) -> None:
+        if self.native:
+            self.graph.add_alignment(aln, seq)
+        else:
+            poa.add_alignment(self.graph, aln, seq)
+        self.next_read += 1
+
+    def align_fallback(self, seq: str, params: poa.POAParams):
+        if self.native:
+            if self.graph.n_nodes() == 0:
+                return []
+            return self.graph.align_local(seq, params)
+        return poa.align_local(self.graph, seq, params)
+
+    def msa(self) -> List[str]:
+        return self.graph.msa()
+
+    def refresh_rank(self) -> bool:
+        """Rebuild rank-space arrays; returns False if capacity exceeded."""
+        g = self.graph
+        if g.n_nodes() > self.n_cap:
+            return False
+        if self.native:
+            out = g.rank_arrays(self.n_cap, PMAX)
+            if out is None:
+                return False
+            self.letter_arr, self.pred_arr, self.rank_nodes = out
+            return True
+        _, order = g.topo_groups()
+        self.rank_nodes = [nid for members in order for nid in members]
+        rank_of = {nid: r for r, nid in enumerate(self.rank_nodes)}
+        self.pred_arr.fill(-1)
+        self.letter_arr.fill(0)
+        for r, nid in enumerate(self.rank_nodes):
+            self.letter_arr[r] = ord(g.letters[nid])
+            ins = g.in_edges[nid]
+            if not ins:
+                self.pred_arr[r, 0] = 0
+            else:
+                if len(ins) > PMAX:
+                    return False
+                for k, a in enumerate(ins):
+                    self.pred_arr[r, k] = rank_of[a] + 1
+        return True
+
+
+def batched_msa(all_seqs: List[List[str]], params: poa.POAParams,
+                lanes: int = LANES) -> List[List[str]]:
+    """MSA for many packs, batching alignments across packs on device."""
+    results: List[List[str]] = [None] * len(all_seqs)  # type: ignore
+
+    # order packs by size so lanes in a group have similar shapes
+    order = sorted(range(len(all_seqs)),
+                   key=lambda i: max((len(s) for s in all_seqs[i]), default=0))
+    queue = list(order)
+
+    while queue:
+        group = queue[:lanes]
+        queue = queue[lanes:]
+        lmax = max(max((len(s) for s in all_seqs[i]), default=1) for i in group)
+        l_cap = _round_pow2(lmax + 1, 128)
+        n_cap = _round_pow2(min(4 * lmax + 64, 3 * l_cap), 256)
+        states = [_LaneState(all_seqs[i], n_cap, l_cap) for i in group]
+        max_reads = max(len(s.seqs) for s in states)
+
+        for t in range(max_reads):
+            active = []
+            for li, st in enumerate(states):
+                if st.fallback or st.next_read >= len(st.seqs):
+                    continue
+                if not st.refresh_rank():
+                    st.fallback = True
+                    continue
+                active.append(li)
+            if not active:
+                continue
+
+            b = len(group)
+            letters = np.zeros((b, n_cap), dtype=np.uint8)
+            preds = np.full((b, n_cap, PMAX), -1, dtype=np.int32)
+            n_nodes = np.zeros(b, dtype=np.int32)
+            seq_arr = np.zeros((b, l_cap), dtype=np.uint8)
+            seq_len = np.zeros(b, dtype=np.int32)
+            for li in active:
+                st = states[li]
+                letters[li] = st.letter_arr
+                preds[li] = st.pred_arr
+                n_nodes[li] = st.n_nodes()
+                s = st.seqs[st.next_read]
+                raw = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+                seq_arr[li, : len(raw)] = raw
+                seq_len[li] = len(raw)
+
+            res = poa_align_batch(
+                jnp.asarray(letters), jnp.asarray(preds), jnp.asarray(n_nodes),
+                jnp.asarray(seq_arr), jnp.asarray(seq_len),
+                match=params.match, mismatch=params.mismatch,
+                go=params.gap_open, ge=params.gap_extend)
+            res = type(res)(*[np.asarray(x) for x in res])
+
+            for li in active:
+                st = states[li]
+                s = st.seqs[st.next_read]
+                aln = alignment_to_host(res, li, st.rank_nodes, len(s))
+                st.add_alignment(aln, s)
+
+        for li, st in zip(group, states):
+            if st.fallback:
+                while st.next_read < len(st.seqs):
+                    s = st.seqs[st.next_read]
+                    st.add_alignment(st.align_fallback(s, params), s)
+            results[li] = st.msa()
+    return results
+
+
+def tpu_pack_runner(packs, p: CorrectParams, msa_fn):
+    """pack_runner hook for correct_reads: two-round correction with
+    device-batched MSAs across packs."""
+    params = poa.POAParams(p.poa_match, p.poa_mismatch, p.poa_gap_open,
+                           p.poa_gap_extend)
+
+    msas = batched_msa([[r.seq for r in pk.reads] for pk in packs], params)
+    round2_inputs: List[Tuple[List[Read], List[Read]]] = []
+    for pk, msa in zip(packs, msas):
+        fix_msa_ends(pk.reads, msa)
+        corrected, uncorrected, _cv = correct_read_pack(
+            pk.reads, msa, p.min_occ, p.gap_occ, p.err_ratio)
+        second = [Read(r.header, r.seq, r.ann, r.quality) for r in corrected]
+        sort_read_set(second)
+        round2_inputs.append((corrected, uncorrected, second))
+
+    msas2 = batched_msa([[r.seq for r in second]
+                         for _, _, second in round2_inputs], params)
+    outcomes = []
+    for (corrected, uncorrected, second), msa2 in zip(round2_inputs, msas2):
+        fix_msa_ends(second, msa2)
+        cv = generate_consensus_vector(second, msa2)
+        outcomes.append((corrected, uncorrected, cv.consensus_string()))
+    return outcomes

@@ -56,7 +56,7 @@ def _write_varint(buf: io.BytesIO, value: int) -> None:
 
 
 def _zigzag_encode(value: int) -> int:
-    return (value << 1) ^ (value >> 63) & ((1 << 64) - 1) if value < 0 else value << 1
+    return ((value << 1) ^ (value >> 63)) & ((1 << 64) - 1)
 
 
 def _zigzag_decode(value: int) -> int:

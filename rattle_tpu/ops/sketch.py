@@ -69,7 +69,8 @@ def _pack_bv(bv_hashes: np.ndarray) -> np.ndarray:
 
 
 def build_sketch_tables(seqs: List[str], kmer_size: int, both_strands: bool,
-                        kmax: Optional[int] = None) -> SketchTables:
+                        kmax: Optional[int] = None,
+                        use_native: bool = True) -> SketchTables:
     n = len(seqs)
     lens = np.array([len(s) for s in seqs], dtype=np.int32)
     nk = (lens - kmer_size).astype(np.int32)
@@ -78,6 +79,13 @@ def build_sketch_tables(seqs: List[str], kmer_size: int, both_strands: bool,
         raise ValueError(f"read {bad} too short (len {lens[bad]}) for k={kmer_size}")
     if kmax is None:
         kmax = _round_up(int(nk.max()), 128)
+
+    if use_native:
+        from .. import native  # noqa: PLC0415 (lazy: optional dependency)
+        if native.available():
+            t = native.build_sketch_native(seqs, kmer_size, both_strands, kmax)
+            if t is not None:
+                return t
 
     hbp = np.full((n, kmax), PAD_HASH, dtype=np.uint32)
     hs = np.full((n, kmax), PAD_HASH, dtype=np.uint32)

@@ -1,0 +1,51 @@
+import os
+import sys
+
+# must run before any jax import: tests use a virtual 8-device CPU mesh
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+def make_read(rng, length):
+    return "".join(rng.choice(list("ACGT"), size=length))
+
+
+def mutate(rng, s, err=0.1):
+    out = []
+    for ch in s:
+        r = rng.random()
+        if r < err * 0.35:
+            continue
+        if r < err * 0.65:
+            out.append(str(rng.choice(list("ACGT"))))
+            out.append(ch)
+        elif r < err:
+            out.append(str(rng.choice(list("ACGT"))))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+@pytest.fixture(scope="session")
+def synthetic_families(rng):
+    """Reads from several synthetic 'transcripts': list of (seq, family)."""
+    refs = [make_read(rng, int(rng.integers(200, 380))) for _ in range(6)]
+    reads = []
+    for fam, ref in enumerate(refs):
+        for _ in range(int(rng.integers(6, 14))):
+            reads.append((mutate(rng, ref), fam))
+    order = rng.permutation(len(reads))
+    return [reads[i] for i in order]
