@@ -101,7 +101,19 @@ class _LaneState:
 
 def batched_msa(all_seqs: List[List[str]], params: poa.POAParams,
                 lanes: int = LANES) -> List[List[str]]:
-    """MSA for many packs, batching alignments across packs on device."""
+    """MSA for many packs, batching alignments across packs on device.
+
+    Set RATTLE_POA_BACKEND=native to run the native C++ aligner on the host
+    instead (identical results; useful without a TPU attached)."""
+    import os
+    if os.environ.get("RATTLE_POA_BACKEND") == "native":
+        out: List[List[str]] = []
+        for seqs in all_seqs:
+            st = _LaneState(seqs, n_cap=1 << 30, l_cap=1 << 30)
+            for s in seqs:
+                st.add_alignment(st.align_fallback(s, params), s)
+            out.append(st.msa())
+        return out
     results: List[List[str]] = [None] * len(all_seqs)  # type: ignore
 
     # order packs by size so lanes in a group have similar shapes

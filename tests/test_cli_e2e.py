@@ -1,0 +1,79 @@
+"""End-to-end CLI pipeline on synthetic reads: cluster -> summary/extract ->
+correct -> polish."""
+
+import os
+
+import pytest
+
+from rattle_tpu.io import fastx, hpsio
+from rattle_tpu.pipeline import cli
+
+
+@pytest.fixture(scope="module")
+def synth_fastq(tmp_path_factory):
+    import numpy as np
+    from .conftest import make_read, mutate
+    rng = np.random.default_rng(77)
+    refs = [make_read(rng, int(rng.integers(220, 320))) for _ in range(3)]
+    path = tmp_path_factory.mktemp("e2e") / "reads.fastq"
+    with open(path, "w") as fh:
+        i = 0
+        for fam, ref in enumerate(refs):
+            for _ in range(10):
+                s = mutate(rng, ref, err=0.08)
+                fh.write(f"@read{i}_fam{fam}\n{s}\n+\n{'I' * len(s)}\n")
+                i += 1
+    return str(path)
+
+
+def test_full_pipeline(synth_fastq, tmp_path):
+    out = str(tmp_path)
+    rc = cli.main(["cluster", "-i", synth_fastq, "-o", out, "--rna", "--raw",
+                   "--oracle"])
+    assert rc == 0
+    clusters = hpsio.read_clusters(os.path.join(out, "clusters.out"))
+    assert sum(len(c.seqs) for c in clusters) == 30
+    # ~3 clusters (one per family), some noise tolerated
+    big = [c for c in clusters if len(c.seqs) >= 6]
+    assert len(big) == 3
+
+    rc = cli.main(["correct", "-i", synth_fastq, "-c",
+                   os.path.join(out, "clusters.out"), "-o", out])
+    assert rc == 0
+    consensi = fastx.read_fastq_plain(os.path.join(out, "consensi.fq"))
+    assert len(consensi) == len(big)
+    for r in consensi:
+        assert r.header.startswith("@gene_cluster_")
+        assert "reads=" in r.header
+        assert len(r.seq) == len(r.quality)
+        assert set(r.quality) == {"K"}
+
+    corrected = fastx.read_fastq_plain(os.path.join(out, "corrected.fq"))
+    uncorr = fastx.read_fastq_plain(os.path.join(out, "uncorrected.fq"))
+    assert len(corrected) + len(uncorr) == 30
+    for r in corrected:
+        assert ",gene_cluster_" in r.header
+
+    rc = cli.main(["polish", "-i", os.path.join(out, "consensi.fq"),
+                   "-o", out, "--rna", "--summary"])
+    assert rc == 0
+    tx = fastx.read_fastq_plain(os.path.join(out, "transcriptome.fq"))
+    assert 1 <= len(tx) <= len(consensi)
+    for r in tx:
+        assert "total_reads=" in r.header
+    assert os.path.exists(os.path.join(out, "polish_summary.tsv"))
+
+
+def test_iso_mode(synth_fastq, tmp_path):
+    out = str(tmp_path)
+    rc = cli.main(["cluster", "-i", synth_fastq, "-o", out, "--rna", "--raw",
+                   "--iso", "--oracle"])
+    assert rc == 0
+    clusters = hpsio.read_clusters(os.path.join(out, "clusters.out"))
+    assert sum(len(c.seqs) for c in clusters) == 30
+    assert all(c.main_seq.gene_id != -1 for c in clusters)
+    reads = fastx.read_multiple_inputs([synth_fastq], [])
+    from rattle_tpu.pipeline.stages import cluster_summary_rows
+    rows = cluster_summary_rows(reads, clusters)
+    assert len(rows) == 30
+    assert all(",gene_cluster_" in r and ",transcript_cluster_" in r for r in rows)

@@ -35,8 +35,11 @@ def main():
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ours_consensi.fq"
     reads = fastx.read_multiple_inputs([sample], [])
     clusters = hpsio.read_clusters(os.path.join(REF_OUT, "clusters.out"))
+    pack_runner = None
+    if "--tpu" in sys.argv or os.environ.get("RATTLE_POA_BACKEND"):
+        from rattle_tpu.correct.tpu_runner import tpu_pack_runner as pack_runner
     t0 = time.time()
-    res = correct_reads(clusters, reads, CorrectParams())
+    res = correct_reads(clusters, reads, CorrectParams(), pack_runner=pack_runner)
     dt = time.time() - t0
     print(f"correct stage: {dt:.1f}s  corrected={len(res.corrected)} "
           f"uncorrected={len(res.uncorrected)} consensi={len(res.consensi)}",
