@@ -46,12 +46,6 @@ def main():
     params = ClusterParams(is_rna=True)
     seqs = [r.seq for r in reads]
 
-    # warmup: compile all kernel shapes on a prefix
-    t0 = time.time()
-    warm = TpuClusterEngine(seqs[:512], params)
-    warm.cluster()
-    log(f"warmup (512 reads): {time.time() - t0:.1f}s")
-
     t0 = time.time()
     engine = TpuClusterEngine(seqs, params)
     clusters = engine.cluster()

@@ -36,7 +36,7 @@ from ..ops.sketch import SketchTables, build_sketch_tables
 from . import oracle
 
 # match-count bucket -> pair-batch chunk size (pairs padded to the chunk)
-M_BUCKETS: Tuple[Tuple[int, int], ...] = ((128, 2048), (512, 512), (2048, 128), (8192, 32))
+M_BUCKETS: Tuple[Tuple[int, int], ...] = ((256, 1024), (2048, 128))
 SEED_BATCH = 64
 VAR_BAND_REL = 0.02
 MC_CHUNK = 8192        # pairs per match-count device call
@@ -91,6 +91,7 @@ class TpuClusterEngine:
             if not params.is_rna:
                 self.d_rev_hs_s, self.d_rev_ps_s = self.d_rev_hs, self.d_rev_ps
         self.nk_host = t.nk
+        self.pool_pad = _pad_pow2(self.n, 256)
 
     # ---------- exact host fallback ----------
 
@@ -134,8 +135,8 @@ class TpuClusterEngine:
         ANDs fwd(i) with rev(j) (cluster.cpp:13-14)."""
         tab = self._bv_table(threshold)
         np_, ns = len(pool), len(seeds)
-        # pad to stable shapes so jit caches across shrinking pools
-        ppad = _pad_pow2(np_, 256)
+        # single padded pool shape for the whole run: one bv_gate compile
+        ppad = self.pool_pad
         spad = SEED_BATCH
         pool_p = np.zeros(ppad, np.int32)
         pool_p[:np_] = pool
@@ -208,7 +209,7 @@ class TpuClusterEngine:
         counts = np.zeros(nb, np.int32)
         for start in range(0, nb, MC_CHUNK):
             n_here = min(MC_CHUNK, nb - start)
-            bpad = _pad_pow2(n_here)
+            bpad = MC_CHUNK  # single shape per K-class
             a_pad = np.zeros(bpad, np.int32)
             b_pad = np.zeros(bpad, np.int32)
             r_pad = np.zeros(bpad, bool)

@@ -1,12 +1,21 @@
 import os
 import sys
 
-# must run before any jax import: tests use a virtual 8-device CPU mesh
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests use a virtual 8-device CPU mesh.  The session's sitecustomize may
+# pre-register a TPU plugin and force jax_platforms programmatically, so env
+# vars alone are not enough — override via jax.config before any backend use.
+os.environ["JAX_PLATFORMS"] = "cpu"
 if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     )
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
