@@ -31,6 +31,7 @@ from ..config import ClusterParams, bv_threshold_schedule
 from ..io.hpsio import Cluster, CSeq
 from ..ops import gates
 from ..ops.encode import encode_seq
+from ..ops.fused import fused_decide, unpack_bits
 from ..ops.similarity import bv_gate, pair_match_counts, score_pairs
 from ..ops.sketch import SketchTables, build_sketch_tables
 from . import oracle
@@ -41,6 +42,26 @@ SEED_BATCH = 64
 VAR_BAND_REL = 0.02
 MC_CHUNK = 8192        # pairs per match-count device call
 K_SMALL = 1152         # small k-mer-table bucket (most nanopore reads fit)
+
+# fused-kernel configs: (tiers, gate budget, count chunk); scaled down when
+# the pool itself is smaller than the production budgets
+_FUSED_SMALL = (((32, 65536, 16384), (128, 16384, 8192), (512, 8192, 2048),
+                 (2048, 2048, 512)), 262144, 16384)
+_FUSED_LARGE = (((32, 8192, 2048), (128, 4096, 1024), (512, 2048, 512),
+                 (2048, 1024, 256)), 32768, 4096)
+
+
+def _scaled_fused_config(base, pool_pad: int, seed_batch: int):
+    tiers, budget, cchunk = base
+    cap = _pad_pow2(pool_pad * seed_batch, 64)
+    budget = min(budget, cap)
+    cchunk = min(cchunk, budget)
+    out_tiers = []
+    for m_cap, t_budget, t_chunk in tiers:
+        t_budget = min(t_budget, budget)
+        t_chunk = min(t_chunk, t_budget)
+        out_tiers.append((m_cap, t_budget, t_chunk))
+    return tuple(out_tiers), budget, cchunk
 
 
 def _pad_pow2(n: int, lo: int = 64) -> int:
@@ -65,6 +86,7 @@ class TpuClusterEngine:
         self.d_hs = jnp.asarray(t.hs)
         self.d_ps = jnp.asarray(t.ps)
         self.d_nk = jnp.asarray(t.nk)
+        self.d_lens = jnp.asarray(t.lens)
         self.d_bvp = jnp.asarray(t.bvp)
         self.d_bvc = jnp.asarray(t.bvc)
         if not params.is_rna:
@@ -251,7 +273,52 @@ class TpuClusterEngine:
                 out["var"][gi] = np.asarray(var)[: len(idx)]
                 out["n_dist"][gi] = np.asarray(n_dist)[: len(idx)]
 
-    # ---------- decision assembly ----------
+    # ---------- decision assembly (fused path) ----------
+
+    def _fused_strand(self, pool_p: np.ndarray, n_pool: int,
+                      seeds_p: np.ndarray, n_seeds: int, threshold: float,
+                      rev: bool):
+        """One strand's fused decisions over the padded pool x seed grid.
+
+        Returns (win [P,S] bool, host [P,S] bool, overflowed bool)."""
+        bv_tab = self._bv_table(threshold)
+        if not hasattr(self, "_sc_tab_dev"):
+            self._sc_tab_dev = jnp.asarray(self.score_min)
+        var_band = np.float32(VAR_BAND_REL * max(self.p.t_v, 1.0))
+        ppad, spad = len(pool_p), len(seeds_p)
+        win = np.zeros((ppad, spad), bool)
+        host = np.zeros((ppad, spad), bool)
+        overflowed = False
+        d_pool = jnp.asarray(pool_p)
+        d_seeds = jnp.asarray(seeds_p)
+        classes = [(True, _scaled_fused_config(_FUSED_SMALL, ppad, spad))]
+        if self.tables.kmax > self.ksmall:
+            classes.append(
+                (False, _scaled_fused_config(_FUSED_LARGE, ppad, spad)))
+        for small, (tiers, budget, cchunk) in classes:
+            if small:
+                hbp_a = self.d_hbp_s
+                hs_b = self.d_rev_hs_s if rev else self.d_hs_s
+                ps_b = self.d_rev_ps_s if rev else self.d_ps_s
+            else:
+                hbp_a = self.d_hbp
+                hs_b = self.d_rev_hs if rev else self.d_hs
+                ps_b = self.d_rev_ps if rev else self.d_ps
+            bvp_b = self.d_rev_bvp if rev else self.d_bvp
+            res = fused_decide(
+                d_pool, jnp.int32(n_pool), d_seeds, jnp.int32(n_seeds),
+                hbp_a, hs_b, ps_b, self.d_nk, self.d_lens,
+                self.d_bvp, bvp_b, self.d_bvc,
+                bv_tab, self._sc_tab_dev, jnp.float32(self.p.t_v),
+                jnp.float32(var_band), jnp.int32(self.ksmall),
+                tiers=tiers, budget=budget, count_chunk=cchunk,
+                kmer_size=self.p.kmer_size, hc_max_dist=self.p.hc_max_dist,
+                small_side=small)
+            if int(res.n_gated) > budget:
+                overflowed = True
+            win |= unpack_bits(res.win_packed, spad)
+            host |= unpack_bits(res.host_packed, spad)
+        return win, host, overflowed
 
     def _decide_pairs(self, seeds: np.ndarray, pool: np.ndarray,
                       threshold: float,
@@ -266,52 +333,49 @@ class TpuClusterEngine:
             seed_reads = seeds
         if pool_reads is None:
             pool_reads = pool
-        fwd_gate, rev_gate = self._gate(pool_reads, seed_reads, threshold)
+        if self.p.use_hc:
+            raise NotImplementedError("use_hc is not reachable from the CLI")
+        np_, ns = len(pool), len(seeds)
 
-        p_idx, s_idx = np.nonzero(fwd_gate)
-        fwd_scores = self._score_batch(
-            seed_reads[s_idx], pool_reads[p_idx], np.zeros(len(p_idx), bool))
-        decision = np.zeros((len(pool), len(seeds)), np.int8)
+        pool_p = np.zeros(self.pool_pad, np.int32)
+        pool_p[:np_] = pool_reads
+        seeds_p = np.zeros(SEED_BATCH, np.int32)
+        seeds_p[:ns] = seed_reads
 
-        def apply(scores, p_i, s_i, rev: bool):
-            a = seed_reads[s_i]
-            b = pool_reads[p_i]
-            mn = np.minimum(np.asarray(self.read_lens)[a],
-                            np.asarray(self.read_lens)[b])
-            metric = scores["hc"] if self.p.use_hc else scores["bases"]
-            score_ok = metric >= self.score_min[mn]
-            var = scores["var"]
-            band = VAR_BAND_REL * max(self.p.t_v, 1.0)
-            borderline = np.abs(var - self.p.t_v) <= band
-            var_ok = var < self.p.t_v
-            win = score_ok & var_ok & ~scores["overflow"] & ~borderline
-            needs_host = (scores["overflow"] | (score_ok & borderline))
-            return win, needs_host
+        win_f, host_f, ovf = self._fused_strand(pool_p, np_, seeds_p, ns,
+                                                threshold, rev=False)
+        if not self.p.is_rna:
+            win_r, host_r, ovr = self._fused_strand(pool_p, np_, seeds_p, ns,
+                                                    threshold, rev=True)
+            ovf = ovf or ovr
+        if ovf:
+            # compaction-budget overflow: split the seed batch and retry
+            if ns == 1:
+                raise RuntimeError("fused budget overflow with a single seed")
+            half = ns // 2
+            d1 = self._decide_pairs(seeds[:half], pool, threshold,
+                                    seed_reads[:half], pool_reads)
+            d2 = self._decide_pairs(seeds[half:], pool, threshold,
+                                    seed_reads[half:], pool_reads)
+            return np.hstack([d1, d2])
 
-        fwd_win, fwd_host = apply(fwd_scores, p_idx, s_idx, False)
-        for t in np.nonzero(fwd_host)[0]:
-            ok, rv = self._oracle_exact_one(
-                int(seed_reads[s_idx[t]]), int(pool_reads[p_idx[t]]),
-                threshold, rev=False)
-            fwd_win[t] = ok
-        decision[p_idx[fwd_win], s_idx[fwd_win]] = 1
+        win_f = win_f[:np_, :ns]
+        host_f = host_f[:np_, :ns]
+        for pi, si in zip(*np.nonzero(host_f)):
+            ok, _ = self._oracle_exact_one(
+                int(seed_reads[si]), int(pool_reads[pi]), threshold, rev=False)
+            win_f[pi, si] = ok
+        decision = np.where(win_f, np.int8(1), np.int8(0))
 
         if not self.p.is_rna:
-            # reverse path: evaluated by the reference only when the forward
-            # path failed (cluster.cpp:40-63); computing it for all rev-gated
-            # pairs and masking is equivalent
-            rp_idx, rs_idx = np.nonzero(rev_gate & (decision == 0))
-            if len(rp_idx):
-                rev_scores = self._score_batch(
-                    seed_reads[rs_idx], pool_reads[rp_idx],
-                    np.ones(len(rp_idx), bool))
-                rev_win, rev_host = apply(rev_scores, rp_idx, rs_idx, True)
-                for t in np.nonzero(rev_host)[0]:
-                    ok, _ = self._oracle_exact_one(
-                        int(seed_reads[rs_idx[t]]), int(pool_reads[rp_idx[t]]),
-                        threshold, rev=True)
-                    rev_win[t] = ok
-                decision[rp_idx[rev_win], rs_idx[rev_win]] = 2
+            win_r = win_r[:np_, :ns]
+            host_r = host_r[:np_, :ns]
+            need_r = decision == 0
+            for pi, si in zip(*np.nonzero(host_r & need_r)):
+                ok, _ = self._oracle_exact_one(
+                    int(seed_reads[si]), int(pool_reads[pi]), threshold, rev=True)
+                win_r[pi, si] = ok
+            decision = np.where((decision == 0) & win_r, np.int8(2), decision)
         return decision
 
     def _oracle_exact_one(self, a: int, b: int, threshold: float, rev: bool):

@@ -91,24 +91,45 @@ def _expand_matches(hbp_a, nk_a, hs_b, ps_b, nk_b, m_cap: int):
     return p1, p2, total
 
 
+def _row_searchsorted(sorted_rows, values, steps: int):
+    """Per-lane binary search: first index with sorted_rows[b, idx] >= v[b].
+
+    sorted_rows [B, W] ascending per row, values [B] -> [B] int32."""
+    b, w = sorted_rows.shape
+    lo = jnp.zeros((b,), jnp.int32)
+    hi = jnp.full((b,), w, jnp.int32)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        vals = jnp.take_along_axis(sorted_rows, jnp.clip(mid, 0, w - 1)[:, None],
+                                   axis=1)[:, 0]
+        go_right = jnp.logical_and(vals < values, lo < hi)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(jnp.logical_and(lo < hi, jnp.logical_not(go_right)), mid, hi)
+    return lo
+
+
 def _lis_build(p2, valid):
     """Patience LIS over the match list (similarity.cpp:10-31).
 
-    Returns (p_pred [B,M], m_idx [B,M+1], l [B])."""
+    O(M log M) per pair: each scan step does a per-lane binary search over the
+    tails array plus point scatters (invalid lanes scatter out of bounds and
+    are dropped).  Returns (p_pred [B,M], m_idx [B,M+1], l [B])."""
     b, m = p2.shape
-    levels = jax.lax.broadcasted_iota(jnp.int32, (b, m + 1), 1)
+    bidx = jnp.arange(b)
+    steps = (m + 1).bit_length()
 
     def step(carry, xs):
         tails, m_idx, p_pred, l, i = carry
         v, ok = xs
-        less = jnp.logical_and(tails[:, 1:] < v[:, None], True)
-        new_l = 1 + less.sum(axis=1, dtype=jnp.int32)
-        pred = jnp.take_along_axis(m_idx, (new_l - 1)[:, None], axis=1)[:, 0]
+        # count of tails < v; level 0 is -INF so the count is always >= 1
+        new_l = _row_searchsorted(tails, v, steps)
+        pred = jnp.take_along_axis(m_idx, jnp.maximum(new_l - 1, 0)[:, None],
+                                   axis=1)[:, 0]
         p_pred = jax.lax.dynamic_update_slice(
             p_pred, jnp.where(ok, pred, 0)[:, None], (0, i))
-        onehot = jnp.logical_and(levels == new_l[:, None], ok[:, None])
-        m_idx = jnp.where(onehot, i, m_idx)
-        tails = jnp.where(onehot, v[:, None], tails)
+        w_idx = jnp.where(ok, new_l, m + 1)  # out of bounds -> dropped
+        m_idx = m_idx.at[bidx, w_idx].set(i, mode="drop")
+        tails = tails.at[bidx, w_idx].set(v, mode="drop")
         l = jnp.where(ok, jnp.maximum(l, new_l), l)
         return (tails, m_idx, p_pred, l, i + 1), None
 
@@ -127,15 +148,14 @@ def _lis_reconstruct(p_pred, m_idx, l):
     """Walk predecessors to lay the LIS match indices into [B, M] slots
     (similarity.cpp:37-44)."""
     b, m = p_pred.shape
-    slots = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
+    bidx = jnp.arange(b)
     k0 = jnp.take_along_axis(m_idx, l[:, None], axis=1)[:, 0]
 
     def step(carry, i):
         k, s_arr = carry
-        write_pos = l - 1 - i
         active = i < l
-        onehot = jnp.logical_and(slots == write_pos[:, None], active[:, None])
-        s_arr = jnp.where(onehot, k[:, None], s_arr)
+        w_idx = jnp.where(active, l - 1 - i, m + 1)
+        s_arr = s_arr.at[bidx, w_idx].set(k, mode="drop")
         k_next = jnp.take_along_axis(p_pred, jnp.clip(k, 0, m - 1)[:, None], axis=1)[:, 0]
         k = jnp.where(active, k_next, k)
         return (k, s_arr), None
@@ -150,7 +170,7 @@ def _anchor_filter(a1, a2, l, kmer_size: int, hc_max_dist: int):
     overlap-clipped base counting (``ex`` uses the previous RAW LIS element),
     distance recording for the variance gate."""
     b, m = a1.shape
-    slots = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
+    bidx = jnp.arange(b)
 
     def step(carry, xs):
         lf, ls, prev_a2, bases, hc, kept, dist_arr, i = carry
@@ -171,8 +191,8 @@ def _anchor_filter(a1, a2, l, kmer_size: int, hc_max_dist: int):
                            jnp.where(dist < hc_max_dist, add, 0))
         hc = hc + jnp.where(keep, hc_inc, 0)
         rec = jnp.logical_and(keep, jnp.logical_not(first))
-        onehot = jnp.logical_and(slots == (kept - 1)[:, None], rec[:, None])
-        dist_arr = jnp.where(onehot, dist[:, None], dist_arr)
+        w_idx = jnp.where(rec, kept - 1, m + 1)
+        dist_arr = dist_arr.at[bidx, w_idx].set(dist, mode="drop")
         kept = kept + keep.astype(jnp.int32)
         lf = jnp.where(keep, x1, lf)
         ls = jnp.where(keep, x2, ls)
