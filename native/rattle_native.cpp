@@ -263,8 +263,12 @@ void align_local_cpu(const PoaGraph& g, const char* seq, int64_t L, int match,
   for (int32_t r = 0; r < n; ++r) rank_of[rank_nodes[r]] = r;
 
   const int64_t W = L + 1;
-  std::vector<int32_t> H((n + 1) * W, 0), E((n + 1) * W, kNeg),
-      F((n + 1) * W, kNeg);
+  // thread-local reusable DP buffers: repeated multi-GB vector churn on big
+  // packs fragments glibc arenas badly enough to look like a leak
+  static thread_local std::vector<int32_t> H, E, F;
+  H.assign((n + 1) * W, 0);
+  E.assign((n + 1) * W, kNeg);
+  F.assign((n + 1) * W, kNeg);
   std::vector<std::vector<int32_t>> pred_rows(n);
   for (int32_t r = 0; r < n; ++r) {
     const auto& ins = g.in_edges[rank_nodes[r]];

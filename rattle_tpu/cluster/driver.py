@@ -45,8 +45,10 @@ K_SMALL = 1152         # small k-mer-table bucket (most nanopore reads fit)
 
 # fused-kernel configs: (tiers, gate budget, count chunk); scaled down when
 # the pool itself is smaller than the production budgets
-_FUSED_SMALL = (((32, 65536, 16384), (128, 16384, 8192), (512, 8192, 2048),
-                 (2048, 2048, 512)), 262144, 16384)
+# chunk sizes stay <= 8192 rows: larger gathered [rows, K] chunks were
+# observed to fault the TPU runtime (16384 x 1152 searchsorted crash)
+_FUSED_SMALL = (((32, 65536, 8192), (128, 16384, 8192), (512, 8192, 2048),
+                 (2048, 2048, 512)), 262144, 8192)
 _FUSED_LARGE = (((32, 8192, 2048), (128, 4096, 1024), (512, 2048, 512),
                  (2048, 1024, 256)), 32768, 4096)
 

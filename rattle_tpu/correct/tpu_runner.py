@@ -47,8 +47,10 @@ class _LaneState:
         self.l_cap = l_cap
         self.fallback = False
         self.rank_nodes: List[int] = []
-        self.pred_arr = np.full((n_cap, PMAX), -1, dtype=np.int32)
-        self.letter_arr = np.zeros(n_cap, dtype=np.uint8)
+        # lazily sized: the host-fallback path passes huge caps and never
+        # needs these device staging arrays
+        self.pred_arr: np.ndarray = None  # type: ignore
+        self.letter_arr: np.ndarray = None  # type: ignore
 
     def n_nodes(self) -> int:
         return self.graph.n_nodes()
@@ -81,6 +83,9 @@ class _LaneState:
                 return False
             self.letter_arr, self.pred_arr, self.rank_nodes = out
             return True
+        if self.pred_arr is None:
+            self.pred_arr = np.full((self.n_cap, PMAX), -1, dtype=np.int32)
+            self.letter_arr = np.zeros(self.n_cap, dtype=np.uint8)
         _, order = g.topo_groups()
         self.rank_nodes = [nid for members in order for nid in members]
         rank_of = {nid: r for r, nid in enumerate(self.rank_nodes)}

@@ -116,9 +116,12 @@ class NativePoaGraph:
         self._h = self._lib.rn_poa_new()
 
     def __del__(self):
-        if getattr(self, "_h", None):
-            self._lib.rn_poa_free(ctypes.c_void_p(self._h))
-            self._h = None
+        try:
+            if getattr(self, "_h", None):
+                self._lib.rn_poa_free(ctypes.c_void_p(self._h))
+                self._h = None
+        except Exception:  # interpreter teardown: ctypes may be gone
+            pass
 
     def n_nodes(self) -> int:
         return int(self._lib.rn_poa_n_nodes(ctypes.c_void_p(self._h)))
