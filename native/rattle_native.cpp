@@ -447,3 +447,159 @@ int64_t rn_poa_align(void* h, const char* seq, int64_t seq_len, int match,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Exact pair scorer (oracle parity: kmer.cpp:45-67 + similarity.cpp:4-97 +
+// utils.cpp:26-55).  Host-side twin of the device join+LIS kernels, used for
+// borderline/overflow rescoring and as a full CPU clustering fallback.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PairScore {
+  int64_t bases;
+  int64_t hc_bases;
+  double variance;  // NaN when one distance (reference 0/0 quirk)
+  int64_t n_dist;
+};
+
+// inputs: read A's hashes in POSITION order (hbp_a, na), read B's hashes
+// sorted ascending with co-sorted positions (hs_b/ps_b, nb)
+PairScore score_pair_cpu(const uint32_t* hbp_a, int64_t na,
+                         const uint32_t* hs_b, const int32_t* ps_b, int64_t nb,
+                         int kmer_size, int hc_max_dist) {
+  // emit matches in (pos1, pos2) order
+  static thread_local std::vector<int32_t> m1, m2;
+  m1.clear();
+  m2.clear();
+  for (int64_t t = 0; t < na; ++t) {
+    const uint32_t h = hbp_a[t];
+    const uint32_t* lo = std::lower_bound(hs_b, hs_b + nb, h);
+    const uint32_t* hi = std::upper_bound(lo, hs_b + nb, h);
+    for (const uint32_t* it = lo; it != hi; ++it) {
+      m1.push_back(int32_t(t));
+      m2.push_back(ps_b[it - hs_b]);
+    }
+  }
+  const int64_t n = int64_t(m1.size());
+  PairScore res{0, 0, 0.0, 0};
+  if (n == 0) return res;
+
+  // patience LIS, strictly increasing in m2 (similarity.cpp:10-31)
+  static thread_local std::vector<int32_t> p, m, tails;
+  p.assign(n, 0);
+  m.assign(n + 1, 0);
+  tails.assign(1, 0);  // tails[l] mirrors m2[m[l]]
+  int64_t l = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t v = m2[i];
+    int64_t lo = 1, hi = l + 1;  // first level in [1, l] with tails >= v
+    while (lo < hi) {
+      const int64_t mid = (lo + hi) >> 1;
+      if (tails[mid] < v) lo = mid + 1; else hi = mid;
+    }
+    const int64_t new_l = lo;
+    p[i] = m[new_l - 1];
+    m[new_l] = int32_t(i);
+    if (new_l > l) {
+      l = new_l;
+      tails.push_back(v);
+    } else {
+      tails[new_l] = v;
+    }
+  }
+
+  static thread_local std::vector<int32_t> s;
+  s.assign(l, 0);
+  int32_t k = m[l];
+  for (int64_t i = l - 1; i >= 0; --i) {
+    s[i] = k;
+    k = p[k];
+  }
+
+  // anchor filter (similarity.cpp:52-85); ex uses s[i-1], not the last kept
+  int64_t bases = 0, hc = 0;
+  int32_t lf = 0, ls = 0;
+  static thread_local std::vector<int32_t> dists;
+  dists.clear();
+  bool first = true;
+  for (int64_t i = 0; i < l; ++i) {
+    const int32_t a1 = m1[s[i]];
+    const int32_t a2 = m2[s[i]];
+    if (first) {
+      bases += kmer_size;
+      hc += kmer_size;
+      lf = a1;
+      ls = a2;
+      first = false;
+      continue;
+    }
+    const int32_t d1 = a1 - lf;
+    const int32_t d2 = a2 - ls;
+    if ((d1 < kmer_size && d2 < kmer_size) ||
+        (d1 >= kmer_size && d2 >= kmer_size)) {
+      bases += kmer_size;
+      const int32_t ex = kmer_size - (a2 - m2[s[i - 1]]);
+      if (ex > 0) bases -= ex;
+      const int32_t dist = (a2 - ls) - (a1 - lf);
+      dists.push_back(dist);
+      if (dist < hc_max_dist) {
+        hc += kmer_size;
+        if (ex > 0) hc -= ex;
+      }
+      lf = a1;
+      ls = a2;
+    }
+  }
+
+  res.bases = bases;
+  res.hc_bases = hc;
+  res.n_dist = int64_t(dists.size());
+  // compensated two-pass variance (utils.cpp:36-55), sequential double math
+  if (dists.empty()) {
+    res.variance = 0.0;
+  } else {
+    double mean = 0.0;
+    for (int32_t d : dists) mean += double(d);
+    mean /= double(dists.size());
+    double ss = 0.0, comp = 0.0;
+    for (int32_t d : dists) {
+      const double dd = double(d) - mean;
+      ss += dd * dd;
+      comp += dd;
+    }
+    res.variance = (ss - comp * comp / double(dists.size())) /
+                   double(int64_t(dists.size()) - 1);
+  }
+  return res;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Scores many pairs; all table pointers address [n_reads, kmax]-shaped
+// row-major arrays.  b_rev selects the rev tables per pair.  Outputs per
+// pair: bases, hc_bases, variance, n_dist.
+void rn_score_pairs(const uint32_t* hbp, const uint32_t* hs,
+                    const int32_t* ps, const uint32_t* rev_hs,
+                    const int32_t* rev_ps, const int32_t* nk, int64_t kmax,
+                    const int32_t* a_ids, const int32_t* b_ids,
+                    const uint8_t* b_rev, int64_t n_pairs, int kmer_size,
+                    int hc_max_dist, int64_t* bases_out, int64_t* hc_out,
+                    double* var_out, int64_t* ndist_out) {
+  for (int64_t i = 0; i < n_pairs; ++i) {
+    const int64_t a = a_ids[i];
+    const int64_t b = b_ids[i];
+    const uint32_t* hsb = (b_rev && b_rev[i]) ? rev_hs : hs;
+    const int32_t* psb = (b_rev && b_rev[i]) ? rev_ps : ps;
+    PairScore r = score_pair_cpu(hbp + a * kmax, nk[a], hsb + b * kmax,
+                                 psb + b * kmax, nk[b], kmer_size, hc_max_dist);
+    bases_out[i] = r.bases;
+    hc_out[i] = r.hc_bases;
+    var_out[i] = r.variance;
+    ndist_out[i] = r.n_dist;
+  }
+}
+
+}  // extern "C"

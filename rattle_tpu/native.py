@@ -49,6 +49,7 @@ def _load():
     lib.rn_poa_rank_arrays.restype = i64
     lib.rn_poa_msa.restype = i64
     lib.rn_poa_align.restype = i64
+    lib.rn_score_pairs.restype = None
     _lib = lib
     return lib
 
@@ -173,3 +174,35 @@ class NativePoaGraph:
         if n < 0:
             raise RuntimeError("alignment buffer overflow")
         return [(int(nodes[i]), int(pos[i])) for i in range(n)]
+
+
+def score_pairs_native(tables, a_ids, b_ids, b_rev, kmer_size: int,
+                       hc_max_dist: int = 10):
+    """Exact host scoring of pairs against SketchTables (C++ twin of the
+    oracle's common_kmers + calc_similarity + var).  Returns dict of arrays:
+    bases, hc, var (float64, NaN for the single-distance quirk), n_dist."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(a_ids)
+    a = np.ascontiguousarray(a_ids, dtype=np.int32)
+    b = np.ascontiguousarray(b_ids, dtype=np.int32)
+    r = np.ascontiguousarray(b_rev, dtype=np.uint8)
+    bases = np.empty(n, np.int64)
+    hc = np.empty(n, np.int64)
+    var = np.empty(n, np.float64)
+    ndist = np.empty(n, np.int64)
+    dummy_u32 = np.zeros(1, np.uint32)
+    dummy_i32 = np.zeros(1, np.int32)
+    rev_hs = tables.rev_hs if tables.rev_hs is not None else dummy_u32
+    rev_ps = tables.rev_ps if tables.rev_ps is not None else dummy_i32
+    lib.rn_score_pairs(
+        _arr(tables.hbp, ctypes.c_uint32), _arr(tables.hs, ctypes.c_uint32),
+        _arr(tables.ps, ctypes.c_int32), _arr(rev_hs, ctypes.c_uint32),
+        _arr(rev_ps, ctypes.c_int32), _arr(tables.nk, ctypes.c_int32),
+        ctypes.c_int64(tables.kmax), _arr(a, ctypes.c_int32),
+        _arr(b, ctypes.c_int32), _arr(r, ctypes.c_uint8), ctypes.c_int64(n),
+        ctypes.c_int(kmer_size), ctypes.c_int(hc_max_dist),
+        _arr(bases, ctypes.c_int64), _arr(hc, ctypes.c_int64),
+        _arr(var, ctypes.c_double), _arr(ndist, ctypes.c_int64))
+    return {"bases": bases, "hc": hc, "var": var, "n_dist": ndist}

@@ -63,3 +63,43 @@ def test_native_rank_arrays_match(rng):
         expect = [rank_of[a] + 1 for a in ins] if ins else [0]
         got = [p for p in preds[r] if p != -1]
         assert got == expect
+
+
+def test_native_pair_scorer_matches_oracle(rng):
+    from .conftest import make_read, mutate
+    from rattle_tpu.cluster import oracle
+    from rattle_tpu.ops.encode import encode_seq
+    from rattle_tpu.utils.varmath import var as exact_var
+    seqs = []
+    base = None
+    for i in range(12):
+        if i % 2 == 0:
+            base = make_read(rng, int(rng.integers(80, 160)))
+            seqs.append(base)
+        else:
+            seqs.append(mutate(rng, base, err=0.15))
+    t = build_sketch_tables(seqs, 10, True)
+    a_ids = np.arange(0, 12, 2)
+    b_ids = np.arange(1, 12, 2)
+    for rev in (False, True):
+        out = native.score_pairs_native(t, a_ids, b_ids,
+                                        np.full(6, rev, bool), 10, 10)
+        for i, (a, b) in enumerate(zip(a_ids, b_ids)):
+            ka = oracle.extract_kmers(encode_seq(seqs[a]), 10, True)
+            kb = oracle.extract_kmers(encode_seq(seqs[b]), 10, True)
+            if rev:
+                m1, m2 = oracle.common_kmers(ka.hashes, ka.positions,
+                                             kb.rev_hashes, kb.rev_positions)
+            else:
+                m1, m2 = oracle.common_kmers(ka.hashes, ka.positions,
+                                             kb.hashes, kb.positions)
+            sim = oracle.calc_similarity(m1, m2, 10)
+            assert out["bases"][i] == sim.bases
+            assert out["hc"][i] == sim.hc_bases
+            assert out["n_dist"][i] == len(sim.distances)
+            ev = exact_var(sim.distances)
+            dv = out["var"][i]
+            if np.isnan(ev):
+                assert np.isnan(dv)
+            else:
+                assert dv == ev
