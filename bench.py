@@ -46,11 +46,22 @@ def main():
     params = ClusterParams(is_rna=True)
     seqs = [r.seq for r in reads]
 
+    backend = os.environ.get("RATTLE_BENCH_BACKEND", "tpu")
     t0 = time.time()
-    engine = TpuClusterEngine(seqs, params)
-    clusters = engine.cluster()
+    try:
+        if backend == "host":
+            raise RuntimeError("host backend requested")
+        engine = TpuClusterEngine(seqs, params)
+        clusters = engine.cluster()
+    except Exception as exc:  # accelerator unavailable: honest host fallback
+        log(f"TPU path failed ({type(exc).__name__}: {exc}); host fallback")
+        from rattle_tpu.cluster.host_engine import HostClusterEngine
+        backend = "host"
+        t0 = time.time()
+        engine = HostClusterEngine(seqs, params)
+        clusters = engine.cluster()
     dt = time.time() - t0
-    log(f"cluster 8306 reads: {dt:.2f}s  clusters={len(clusters)} "
+    log(f"cluster 8306 reads [{backend}]: {dt:.2f}s  clusters={len(clusters)} "
         f"fallbacks={engine.n_oracle_fallbacks}")
 
     # parity check vs golden
@@ -62,8 +73,11 @@ def main():
     log(f"parity vs golden clusters.out: {parity}")
 
     reads_per_s = len(reads) / dt
+    metric = f"toyset_cluster_reads_per_s_{backend}"
+    if not parity:
+        metric += "_PARITY_FAIL"
     print(json.dumps({
-        "metric": "toyset_cluster_reads_per_s" + ("" if parity else "_PARITY_FAIL"),
+        "metric": metric,
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),

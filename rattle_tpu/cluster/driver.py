@@ -31,7 +31,8 @@ from ..config import ClusterParams, bv_threshold_schedule
 from ..io.hpsio import Cluster, CSeq
 from ..ops import gates
 from ..ops.encode import encode_seq
-from ..ops.fused import fused_decide, unpack_bits
+from ..ops.fused import fused_decide_single, unpack_bits
+from .. import native
 from ..ops.similarity import bv_gate, pair_match_counts, score_pairs
 from ..ops.sketch import SketchTables, build_sketch_tables
 from . import oracle
@@ -45,25 +46,19 @@ K_SMALL = 1152         # small k-mer-table bucket (most nanopore reads fit)
 
 # fused-kernel configs: (tiers, gate budget, count chunk); scaled down when
 # the pool itself is smaller than the production budgets
-# chunk sizes stay <= 8192 rows: larger gathered [rows, K] chunks were
-# observed to fault the TPU runtime (16384 x 1152 searchsorted crash)
-_FUSED_SMALL = (((32, 65536, 8192), (128, 16384, 8192), (512, 8192, 2048),
-                 (2048, 2048, 512)), 262144, 8192)
-_FUSED_LARGE = (((32, 8192, 2048), (128, 4096, 1024), (512, 2048, 512),
-                 (2048, 1024, 256)), 32768, 4096)
+# single-tier fused configs: (m_cap, budget, chunk).  Chunks stay <= 8192
+# rows (larger gathered [rows, K] chunks faulted the TPU runtime); pairs with
+# more than m_cap matches are rescored by the exact native host scorer.
+_FUSED_SMALL = (512, 262144, 8192)
+_FUSED_LARGE = (512, 32768, 4096)
 
 
 def _scaled_fused_config(base, pool_pad: int, seed_batch: int):
-    tiers, budget, cchunk = base
+    m_cap, budget, chunk = base
     cap = _pad_pow2(pool_pad * seed_batch, 64)
     budget = min(budget, cap)
-    cchunk = min(cchunk, budget)
-    out_tiers = []
-    for m_cap, t_budget, t_chunk in tiers:
-        t_budget = min(t_budget, budget)
-        t_chunk = min(t_chunk, t_budget)
-        out_tiers.append((m_cap, t_budget, t_chunk))
-    return tuple(out_tiers), budget, cchunk
+    chunk = min(chunk, budget)
+    return m_cap, budget, chunk
 
 
 def _pad_pow2(n: int, lo: int = 64) -> int:
@@ -297,7 +292,7 @@ class TpuClusterEngine:
         if self.tables.kmax > self.ksmall:
             classes.append(
                 (False, _scaled_fused_config(_FUSED_LARGE, ppad, spad)))
-        for small, (tiers, budget, cchunk) in classes:
+        for small, (m_cap, budget, chunk) in classes:
             if small:
                 hbp_a = self.d_hbp_s
                 hs_b = self.d_rev_hs_s if rev else self.d_hs_s
@@ -307,13 +302,13 @@ class TpuClusterEngine:
                 hs_b = self.d_rev_hs if rev else self.d_hs
                 ps_b = self.d_rev_ps if rev else self.d_ps
             bvp_b = self.d_rev_bvp if rev else self.d_bvp
-            res = fused_decide(
+            res = fused_decide_single(
                 d_pool, jnp.int32(n_pool), d_seeds, jnp.int32(n_seeds),
                 hbp_a, hs_b, ps_b, self.d_nk, self.d_lens,
                 self.d_bvp, bvp_b, self.d_bvc,
                 bv_tab, self._sc_tab_dev, jnp.float32(self.p.t_v),
                 jnp.float32(var_band), jnp.int32(self.ksmall),
-                tiers=tiers, budget=budget, count_chunk=cchunk,
+                m_cap=m_cap, budget=budget, chunk=chunk,
                 kmer_size=self.p.kmer_size, hc_max_dist=self.p.hc_max_dist,
                 small_side=small)
             if int(res.n_gated) > budget:
@@ -363,22 +358,44 @@ class TpuClusterEngine:
 
         win_f = win_f[:np_, :ns]
         host_f = host_f[:np_, :ns]
-        for pi, si in zip(*np.nonzero(host_f)):
-            ok, _ = self._oracle_exact_one(
-                int(seed_reads[si]), int(pool_reads[pi]), threshold, rev=False)
-            win_f[pi, si] = ok
+        self._host_rescore(win_f, host_f, seed_reads, pool_reads, rev=False)
         decision = np.where(win_f, np.int8(1), np.int8(0))
 
         if not self.p.is_rna:
             win_r = win_r[:np_, :ns]
             host_r = host_r[:np_, :ns]
-            need_r = decision == 0
-            for pi, si in zip(*np.nonzero(host_r & need_r)):
-                ok, _ = self._oracle_exact_one(
-                    int(seed_reads[si]), int(pool_reads[pi]), threshold, rev=True)
-                win_r[pi, si] = ok
+            host_r &= decision == 0
+            self._host_rescore(win_r, host_r, seed_reads, pool_reads, rev=True)
             decision = np.where((decision == 0) & win_r, np.int8(2), decision)
         return decision
+
+    def _host_rescore(self, win, host, seed_reads, pool_reads, rev: bool):
+        """Exact f64 rescoring of host-flagged pairs, batched through the
+        native scorer (falls back to the Python oracle without it)."""
+        pi, si = np.nonzero(host)
+        if len(pi) == 0:
+            return
+        a_ids = np.asarray(seed_reads)[si]
+        b_ids = np.asarray(pool_reads)[pi]
+        out = None
+        if native.available():
+            out = native.score_pairs_native(
+                self.tables, a_ids, b_ids, np.full(len(pi), rev, bool),
+                self.p.kmer_size, self.p.hc_max_dist)
+        if out is None:
+            for k in range(len(pi)):
+                ok, _ = self._oracle_exact_one(int(a_ids[k]), int(b_ids[k]),
+                                               0.0, rev=rev)
+                win[pi[k], si[k]] = ok
+            return
+        self.n_oracle_fallbacks += len(pi)
+        lens = np.asarray(self.read_lens, dtype=np.int64)
+        mn = np.minimum(lens[a_ids], lens[b_ids]).astype(np.float64)
+        metric = out["hc"] if self.p.use_hc else out["bases"]
+        norm_ok = metric.astype(np.float64) / mn >= self.p.t_s
+        with np.errstate(invalid="ignore"):
+            var_ok = out["var"] < self.p.t_v
+        win[pi, si] = norm_ok & var_ok
 
     def _oracle_exact_one(self, a: int, b: int, threshold: float, rev: bool):
         """Exact scalar re-evaluation of one strand of one pair."""

@@ -198,6 +198,99 @@ def fused_decide(pool_ids, n_pool, seed_ids, n_seeds,
                        n_gated)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("m_cap", "budget", "chunk", "kmer_size", "hc_max_dist",
+                     "small_side"))
+def fused_decide_single(pool_ids, n_pool, seed_ids, n_seeds,
+                        hbp_a_tab, hs_b_tab, ps_b_tab, nk_tab, lens_tab,
+                        bvp_a_tab, bvp_b_tab, bvc_tab,
+                        bv_tab, sc_tab, t_v, var_band, nk_limit,
+                        *, m_cap: int = 512, budget: int = DEFAULT_BUDGET,
+                        chunk: int = 8192, kmer_size: int = 10,
+                        hc_max_dist: int = 10,
+                        small_side: bool = True) -> FusedResult:
+    """Single-tier variant of ``fused_decide``: every gated pair is scored at
+    one match cap; pairs whose match list exceeds it are flagged for the
+    (fast, exact) native host scorer.  Much smaller HLO graph — compiles far
+    faster through remote-compile tunnels."""
+    p = pool_ids.shape[0]
+    s = seed_ids.shape[0]
+
+    bvp_pool = jnp.take(bvp_b_tab, pool_ids, axis=0)
+    bvc_pool = jnp.take(bvc_tab, pool_ids, axis=0)
+    bvp_seed = jnp.take(bvp_a_tab, seed_ids, axis=0)
+    bvc_seed = jnp.take(bvc_tab, seed_ids, axis=0)
+    nk_pool = jnp.take(nk_tab, pool_ids, axis=0)
+    nk_seed = jnp.take(nk_tab, seed_ids, axis=0)
+
+    def gate_chunk(bv_s):
+        anded = jnp.bitwise_and(bvp_pool[:, None, :], bv_s[None, :, :])
+        return jax.lax.population_count(anded).sum(axis=2, dtype=jnp.int32)
+
+    sc = max(1, min(s, 8))
+    common = jax.lax.map(gate_chunk, bvp_seed.reshape(s // sc, sc, -1))
+    common = jnp.moveaxis(common, 0, 1).reshape(p, s)
+    mmax = jnp.maximum(bvc_pool[:, None], bvc_seed[None, :])
+    gate = common >= bv_tab[mmax]
+    pair_nk = jnp.maximum(nk_pool[:, None], nk_seed[None, :])
+    in_class = (pair_nk <= nk_limit) if small_side else (pair_nk > nk_limit)
+    gate = gate & in_class
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (p, s), 0)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (p, s), 1)
+    gate = gate & (iota_p < n_pool) & (iota_s < n_seeds)
+
+    flat = gate.reshape(-1)
+    n_gated = flat.sum(dtype=jnp.int32)
+    pair_idx = jnp.nonzero(flat, size=budget, fill_value=-1)[0].astype(jnp.int32)
+    valid = pair_idx >= 0
+    pi = jnp.clip(pair_idx, 0) // s
+    si = jnp.clip(pair_idx, 0) % s
+    a_ids = jnp.take(seed_ids, si)
+    b_ids = jnp.take(pool_ids, pi)
+
+    def score_chunk(args):
+        a_c, b_c = args
+        hbp_a = jnp.take(hbp_a_tab, a_c, axis=0)
+        nk_a = jnp.take(nk_tab, a_c, axis=0)
+        hs_b = jnp.take(hs_b_tab, b_c, axis=0)
+        ps_b = jnp.take(ps_b_tab, b_c, axis=0)
+        nk_b = jnp.take(nk_tab, b_c, axis=0)
+        p1, p2, total = _expand_matches(hbp_a, nk_a, hs_b, ps_b, nk_b, m_cap)
+        mvalid = jax.lax.broadcasted_iota(jnp.int32, p1.shape, 1) < \
+            jnp.minimum(total, m_cap)[:, None]
+        p_pred, m_idx, l = _lis_build(p2, mvalid)
+        s_arr = _lis_reconstruct(p_pred, m_idx, l)
+        a1 = jnp.take_along_axis(p1, s_arr, axis=1)
+        a2 = jnp.take_along_axis(p2, s_arr, axis=1)
+        bases, _hc, kept, dist_arr = _anchor_filter(a1, a2, l, kmer_size,
+                                                    hc_max_dist)
+        n_dist = jnp.maximum(kept - 1, 0)
+        var = _variance(dist_arr, n_dist)
+        return bases, var, total
+
+    nch = budget // chunk
+    bases, var, total = jax.lax.map(
+        score_chunk, (a_ids.reshape(nch, chunk), b_ids.reshape(nch, chunk)))
+    bases = bases.reshape(-1)
+    var = var.reshape(-1)
+    total = total.reshape(-1)
+
+    mn = jnp.minimum(jnp.take(lens_tab, a_ids), jnp.take(lens_tab, b_ids))
+    score_ok = bases >= sc_tab[mn]
+    borderline = jnp.abs(var - t_v) <= var_band
+    fits = total <= m_cap
+    win = score_ok & (var < t_v) & ~borderline & fits & valid
+    host = ((~fits) | (score_ok & borderline)) & valid
+
+    t_idx = jnp.where(valid, pair_idx, p * s)
+    win_flat = jnp.zeros(p * s, jnp.bool_).at[t_idx].set(win, mode="drop")
+    host_flat = jnp.zeros(p * s, jnp.bool_).at[t_idx].set(host, mode="drop")
+    host_flat = host_flat | (flat & (n_gated > budget))
+    return FusedResult(_pack_bits(win_flat, p, s), _pack_bits(host_flat, p, s),
+                       n_gated)
+
+
 def unpack_bits(packed, s: int):
     """[P, S//32] uint32 -> [P, S] numpy bool (host side)."""
     import numpy as np
