@@ -49,7 +49,7 @@ K_SMALL = 1152         # small k-mer-table bucket (most nanopore reads fit)
 # single-tier fused configs: (m_cap, budget, chunk).  Chunks stay <= 8192
 # rows (larger gathered [rows, K] chunks faulted the TPU runtime); pairs with
 # more than m_cap matches are rescored by the exact native host scorer.
-_FUSED_SMALL = (512, 262144, 8192)
+_FUSED_SMALL = (512, 131072, 4096)
 _FUSED_LARGE = (512, 32768, 4096)
 
 
