@@ -36,7 +36,7 @@ def main():
     from tools.reconstruct_toyset import reconstruct
     from rattle_tpu.config import ClusterParams, InputParams
     from rattle_tpu.pipeline.stages import load_cluster_inputs, run_cluster
-    from rattle_tpu.cluster.driver import TpuClusterEngine
+    from rattle_tpu.cluster.bulk import BulkClusterEngine
     from rattle_tpu.io.hpsio import read_clusters
 
     sample = reconstruct()
@@ -51,7 +51,7 @@ def main():
     try:
         if backend == "host":
             raise RuntimeError("host backend requested")
-        engine = TpuClusterEngine(seqs, params)
+        engine = BulkClusterEngine(seqs, params)
         clusters = engine.cluster()
     except Exception as exc:  # accelerator unavailable: honest host fallback
         log(f"TPU path failed ({type(exc).__name__}: {exc}); host fallback")

@@ -29,6 +29,7 @@ class CorrectionResults:
     corrected: ReadSet = field(default_factory=list)
     uncorrected: ReadSet = field(default_factory=list)
     consensi: ReadSet = field(default_factory=list)
+    checkpoint: object = None  # CorrectCheckpoint when resume is enabled
 
 
 @dataclass
@@ -116,8 +117,14 @@ def process_pack(pack: Pack, p: CorrectParams, msa_fn) -> tuple:
 def correct_reads(clusters: ClusterSet, reads: ReadSet, p: CorrectParams,
                   labels: Optional[List[str]] = None,
                   msa_fn: Optional[Callable[[List[str]], List[str]]] = None,
-                  pack_runner=None) -> CorrectionResults:
-    """Full correction stage (correct.cpp:311-563)."""
+                  pack_runner=None,
+                  checkpoint_dir: Optional[str] = None) -> CorrectionResults:
+    """Full correction stage (correct.cpp:311-563).
+
+    ``checkpoint_dir`` enables pack-granular resume (utils/checkpoint.py):
+    finished packs are replayed from the manifest, only the remainder is
+    recomputed, and the assembled outputs are byte-identical to an
+    uninterrupted run."""
     labels = labels or []
     if msa_fn is None:
         poa_params = POAParams(p.poa_match, p.poa_mismatch, p.poa_gap_open,
@@ -130,12 +137,36 @@ def correct_reads(clusters: ClusterSet, reads: ReadSet, p: CorrectParams,
     gene_mode = clusters[0].main_seq.gene_id == -1 if clusters else True
     consensi: Dict[int, ReadSet] = {cid: [] for cid in range(len(clusters))}
 
-    if pack_runner is not None:
-        outcomes = pack_runner(packs, p, msa_fn)
-    else:
-        outcomes = (process_pack(pk, p, msa_fn) for pk in packs)
+    ckpt = None
+    done = {}
+    if checkpoint_dir is not None:
+        from ..utils.checkpoint import CorrectCheckpoint, params_key
+        ckpt = CorrectCheckpoint(checkpoint_dir, params_key(
+            n_clusters=len(clusters), n_reads=len(reads), split=p.split,
+            min_reads=p.min_reads, min_occ=p.min_occ, gap_occ=p.gap_occ,
+            err_ratio=p.err_ratio))
+        done = ckpt.load()
 
-    for pack, (corrected, uncorrected, consensus) in zip(packs, outcomes):
+    todo = [pk for i, pk in enumerate(packs) if i not in done]
+    if pack_runner is not None:
+        todo_outcomes = iter(pack_runner(todo, p, msa_fn))
+    else:
+        todo_outcomes = (process_pack(pk, p, msa_fn) for pk in todo)
+
+    def outcomes_in_order():
+        for i, _pk in enumerate(packs):
+            if i in done:
+                d = done[i]
+                yield d.corrected, d.uncorrected, d.consensus
+            else:
+                out = next(todo_outcomes)
+                if ckpt is not None:
+                    from ..utils.checkpoint import PackResult
+                    ckpt.record(PackResult(i, out[0], out[1], out[2]))
+                yield out
+
+    for pack, (corrected, uncorrected, consensus) in zip(packs,
+                                                         outcomes_in_order()):
         res.corrected.extend(corrected)
         res.uncorrected.extend(uncorrected)
         gid, label_result = _parse_pack_labels(pack.reads, labels)
@@ -187,4 +218,9 @@ def correct_reads(clusters: ClusterSet, reads: ReadSet, p: CorrectParams,
                 header = f"@gene_cluster_{cid} reads={total_reads} labels={labels_result}"
             res.consensi.append(
                 Read(header, packs_c[0].seq, "+", packs_c[0].quality))
+    if ckpt is not None:
+        # keep the manifest on disk until the caller has written the stage
+        # outputs (CLI removes it via finalize); flush so nothing is lost
+        ckpt.flush()
+        res.checkpoint = ckpt
     return res

@@ -1,0 +1,126 @@
+"""Sort-merge common-k-mer join on device (kmer.cpp:45-67).
+
+TPUs have no gather hardware: the binary-search join in ops/similarity.py
+costs ~1 s per 4096-pair chunk because every search step is a lane-serial
+gather.  This join uses only TPU-fast primitives — `lax.sort`, cumulative
+ops, broadcast compare+reduce ("selsum") — and two small [B, M] gathers:
+
+  1. concat the two PRE-SORTED hash tables, tag by side, sort by (hash, side)
+  2. segmented cumsums give, for every b-side element, the count and rank
+     range of a-side elements sharing its hash (duplicates included)
+  3. match slots expand via selsum rank arithmetic; (pos1, pos2) pairs are
+     recovered with selsum-gathers and re-sorted by (pos1, pos2)
+
+Contract identical to similarity._expand_matches: matches compacted to the
+front in (pos1, pos2) order (the reference's emission order), p2 padded with
+INT32_MAX, and the TRUE total match count returned (overflow detection).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INT32_MAX = 2**31 - 1
+PAD_HASH = jnp.uint32(0xFFFFFFFF)
+
+
+def sorted_join_expand(hs_a, ps_a, nk_a, hs_b, ps_b, nk_b, m_cap: int):
+    """(p1 [B,M], p2 [B,M], total [B]) for B pairs of sorted k-mer tables.
+
+    hs_* [B, W*] hash-sorted tables, ps_* co-sorted positions, nk_* [B] valid
+    counts.  W_a and W_b may differ (K-class mixing).
+    """
+    b, wa = hs_a.shape
+    wb = hs_b.shape[1]
+    w = wa + wb
+
+    cols_a = jax.lax.broadcasted_iota(jnp.int32, (b, wa), 1)
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, (b, wb), 1)
+    va = cols_a < nk_a[:, None]
+    vb = cols_b < nk_b[:, None]
+    # pads: hash PAD + pos -1 (a real k=16 hash CAN equal PAD — the pos>=0
+    # test keeps it, unlike count-clamping approaches)
+    h = jnp.concatenate([jnp.where(va, hs_a, PAD_HASH),
+                         jnp.where(vb, hs_b, PAD_HASH)], axis=1)
+    side = jnp.concatenate([jnp.zeros((b, wa), jnp.int32),
+                            jnp.ones((b, wb), jnp.int32)], axis=1)
+    pos = jnp.concatenate([jnp.where(va, ps_a, -1),
+                           jnp.where(vb, ps_b, -1)], axis=1)
+    h, side, pos = jax.lax.sort((h, side, pos), dimension=1, num_keys=2)
+    valid = pos >= 0
+
+    is_a = (side == 0) & valid
+    is_b = (side == 1) & valid
+    boundary = jnp.concatenate(
+        [jnp.ones((b, 1), bool), h[:, 1:] != h[:, :-1]], axis=1)
+    boundary_next = jnp.concatenate(
+        [h[:, 1:] != h[:, :-1], jnp.ones((b, 1), bool)], axis=1)
+    a_incl = jnp.cumsum(is_a, axis=1, dtype=jnp.int32)
+    a_excl = a_incl - is_a
+    # value of a_excl at the current hash-run's start / a_incl at its end
+    # (cummax works because the cumsums are non-decreasing)
+    a_start = jax.lax.cummax(jnp.where(boundary, a_excl, -1), axis=1)
+    # nearest FUTURE boundary: a_incl is non-decreasing, so reverse cumMIN
+    a_end = jax.lax.cummin(jnp.where(boundary_next, a_incl, INT32_MAX),
+                           axis=1, reverse=True)
+
+    cnt_b = jnp.where(is_b, a_end - a_start, 0)
+    offs = jnp.cumsum(cnt_b, axis=1, dtype=jnp.int32)        # inclusive
+    total = offs[:, -1]
+
+    # slot expansion: slot s belongs to the b-element t with
+    # offs[t-1] <= s < offs[t].  Every [B, M, W] tensor below exists only
+    # inside a broadcast-compare-reduce chain (XLA fuses them; nothing this
+    # size is materialized), trading recompute for the gathers TPUs lack.
+    slots = jnp.arange(m_cap, dtype=jnp.int32)
+    offs_b = offs[:, None, :]
+    slots_b = slots[None, :, None]
+    offs_before = jnp.max(jnp.where(offs_b <= slots_b, offs_b, 0), axis=2)
+    within = slots[None, :] - offs_before                    # [B, M]
+    # is_t: first j with offs[j] > s (cnt_b > 0 there, so it is a b element)
+    gt = offs_b > slots_b
+    prev_le = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), offs[:, :-1]], axis=1)[:, None, :] \
+        <= slots_b
+    is_t = gt & prev_le & (cnt_b[:, None, :] > 0)
+    p2 = jnp.sum(jnp.where(is_t, pos[:, None, :], 0), axis=2)
+    rank = jnp.sum(jnp.where(is_t, a_start[:, None, :], 0), axis=2) + within
+    # a element with a_excl == rank (unique among is_a)
+    a_hit = is_a[:, None, :] & (a_excl[:, None, :] == rank[:, :, None])
+    p1 = jnp.sum(jnp.where(a_hit, pos[:, None, :], 0), axis=2)
+
+    valid_slot = slots[None, :] < jnp.minimum(total, m_cap)[:, None]
+    p1s = jnp.where(valid_slot, p1, INT32_MAX)
+    p2s = jnp.where(valid_slot, p2, INT32_MAX)
+    p1s, p2s = jax.lax.sort((p1s, p2s), dimension=1, num_keys=2)
+    p1s = jnp.where(p1s == INT32_MAX, 0, p1s)
+    return p1s, p2s, total
+
+
+def join_counts(hs_a, nk_a, hs_b, nk_b):
+    """Total match count per pair, without expansion (cheap pass)."""
+    b, wa = hs_a.shape
+    wb = hs_b.shape[1]
+    cols_a = jax.lax.broadcasted_iota(jnp.int32, (b, wa), 1)
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, (b, wb), 1)
+    va = cols_a < nk_a[:, None]
+    vb = cols_b < nk_b[:, None]
+    h = jnp.concatenate([jnp.where(va, hs_a, PAD_HASH),
+                         jnp.where(vb, hs_b, PAD_HASH)], axis=1)
+    side = jnp.concatenate([jnp.where(va, 0, 2),
+                            jnp.where(vb, 1, 2)], axis=1)
+    h, side = jax.lax.sort((h, side), dimension=1, num_keys=2)
+    is_a = side == 0
+    is_b = side == 1
+    boundary = jnp.concatenate(
+        [jnp.ones((b, 1), bool), h[:, 1:] != h[:, :-1]], axis=1)
+    boundary_next = jnp.concatenate(
+        [h[:, 1:] != h[:, :-1], jnp.ones((b, 1), bool)], axis=1)
+    a_incl = jnp.cumsum(is_a, axis=1, dtype=jnp.int32)
+    a_excl = a_incl - is_a
+    a_start = jax.lax.cummax(jnp.where(boundary, a_excl, -1), axis=1)
+    a_end = jax.lax.cummin(jnp.where(boundary_next, a_incl, INT32_MAX),
+                           axis=1, reverse=True)
+    return jnp.sum(jnp.where(is_b, a_end - a_start, 0), axis=1,
+                   dtype=jnp.int32)

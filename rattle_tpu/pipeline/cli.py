@@ -23,8 +23,8 @@ def _engine(args):
     if getattr(args, "oracle", False):
         from ..cluster.oracle import cluster_reads
         return cluster_reads
-    from ..cluster.driver import cluster_reads_tpu
-    return cluster_reads_tpu
+    from ..cluster.bulk import cluster_reads_bulk
+    return cluster_reads_bulk
 
 
 def main(argv=None):
@@ -66,6 +66,9 @@ def main(argv=None):
     pco.add_argument("-r", "--min-reads", type=int, default=5)
     pco.add_argument("-t", "--threads", type=int, default=1)
     pco.add_argument("--verbose", action="store_true")
+    pco.add_argument("--checkpoint-dir", default=None,
+                     help="pack-granular resume manifest dir (new capability; "
+                     "the reference restarts the whole stage on a crash)")
 
     ps = sub.add_parser("cluster_summary")
     _add_common_input(ps)
@@ -128,10 +131,13 @@ def main(argv=None):
         clusters = hpsio.read_clusters(args.clusters)
         cp = CorrectParams(min_occ=args.min_occ, gap_occ=args.gap_occ,
                            split=args.split, min_reads=args.min_reads)
-        res = correct_reads(clusters, reads, cp, labels=labels)
+        res = correct_reads(clusters, reads, cp, labels=labels,
+                            checkpoint_dir=args.checkpoint_dir)
         fastx.write_fastq(res.corrected, os.path.join(args.output, "corrected.fq"))
         fastx.write_fastq(res.uncorrected, os.path.join(args.output, "uncorrected.fq"))
         fastx.write_fastq(res.consensi, os.path.join(args.output, "consensi.fq"))
+        if res.checkpoint is not None:
+            res.checkpoint.finalize()  # stage artifacts are now the checkpoint
         print("Done", file=sys.stderr)
         return 0
 
@@ -139,8 +145,12 @@ def main(argv=None):
         files = [f for f in args.input.split(",") if f]
         reads = fastx.read_multiple_inputs(files, labels)
         clusters = hpsio.read_clusters(args.clusters)
-        for row in stages.cluster_summary_rows(reads, clusters):
-            print(row)
+        try:
+            for row in stages.cluster_summary_rows(reads, clusters):
+                print(row)
+        except BrokenPipeError:  # e.g. piped into head; exit quietly
+            devnull = os.open(os.devnull, os.O_WRONLY)
+            os.dup2(devnull, sys.stdout.fileno())
         return 0
 
     if mode == "extract_clusters":

@@ -1,0 +1,55 @@
+"""Bulk TPU engine vs the exact NumPy oracle on synthetic read sets."""
+
+import numpy as np
+import pytest
+
+from rattle_tpu.config import ClusterParams
+from rattle_tpu.cluster import oracle
+from rattle_tpu.cluster.bulk import BulkClusterEngine
+
+
+def _sig(clusters):
+    return [(c.main_seq.seq_id, c.main_seq.rev,
+             [(s.seq_id, s.rev) for s in c.seqs]) for c in clusters]
+
+
+def _sorted_reads(reads):
+    seqs = [r for r, _f in reads]
+    seqs.sort(key=lambda s: -len(s))
+    return [s for s in seqs if len(s) > 20]
+
+
+@pytest.mark.parametrize("is_rna", [True, False])
+def test_bulk_matches_oracle(synthetic_families, is_rna):
+    seqs = _sorted_reads(synthetic_families)
+    params = ClusterParams(is_rna=is_rna)
+    golden = oracle.cluster_reads(seqs, params)
+    got = BulkClusterEngine(seqs, params).cluster()
+    assert _sig(got) == _sig(golden)
+
+
+def test_bulk_matches_oracle_iso_params(synthetic_families):
+    seqs = _sorted_reads(synthetic_families)
+    params = ClusterParams(kmer_size=11, t_s=0.3, t_v=25.0, is_rna=True)
+    golden = oracle.cluster_reads(seqs, params)
+    got = BulkClusterEngine(seqs, params).cluster()
+    assert _sig(got) == _sig(golden)
+
+
+def test_bulk_with_revcomp_members(rng):
+    """cDNA mode with explicitly reverse-complemented reads."""
+    from rattle_tpu.ops.encode import reverse_complement_str
+    from tests.conftest import make_read, mutate
+    refs = [make_read(rng, int(rng.integers(220, 320))) for _ in range(4)]
+    seqs = []
+    for ref in refs:
+        for _ in range(8):
+            s = mutate(rng, ref, 0.06)
+            if rng.random() < 0.5:
+                s = reverse_complement_str(s)
+            seqs.append(s)
+    seqs.sort(key=lambda s: -len(s))
+    params = ClusterParams(is_rna=False)
+    golden = oracle.cluster_reads(seqs, params)
+    got = BulkClusterEngine(seqs, params).cluster()
+    assert _sig(got) == _sig(golden)
