@@ -47,15 +47,34 @@ from ..ops.join_device import sorted_join_expand
 from ..ops.similarity import _variance
 from . import oracle
 
-K_SMALL = 1152
-# M-tier ladder: (match cap, chunk for the small K class, chunk for large).
-# Pairs overflowing a tier escalate to the next; past the last -> host.
-M_LADDER: Tuple[Tuple[int, int, int], ...] = ((64, 4096, 512),
-                                              (512, 2048, 256),
-                                              (4096, 256, 32))
+# K classes by pair max-nk: table slice widths (0 = full kmax).  Narrower
+# classes sort less per pair; gate-passing pairs almost always have > 64
+# matches, so the M ladder starts at 512 (measured: 98% of gated toyset
+# pairs overflow a 64-match tier).
+K_CLASSES: Tuple[int, ...] = (1152, 2304, 0)
+M_LADDER: Tuple[int, ...] = (512, 4096)
+# chunk sizes: LADDER_CHUNKS[class_idx][tier_idx]
+LADDER_CHUNKS: Tuple[Tuple[int, int], ...] = ((4096, 256),
+                                              (2048, 128),
+                                              (512, 32))
 GATE_BUDGET = 1 << 19
 HOST_BUDGET = 1 << 13
 VAR_BAND_REL = 0.02
+
+_PROFILE = bool(__import__("os").environ.get("RATTLE_PROFILE"))
+
+
+def _prof(label: str, t_start, sync_on=None):
+    """Section timing (RATTLE_PROFILE=1): syncs via a scalar fetch (the only
+    reliable barrier on the axon runtime) and prints the elapsed time."""
+    if not _PROFILE:
+        return
+    import sys as _sys
+    import time as _time
+    if sync_on is not None:
+        float(np.asarray(sync_on.reshape(-1)[0].astype(jnp.float32)))
+    print(f"      [prof] {label}: {_time.time() - t_start:.3f}s",
+          file=_sys.stderr, flush=True)
 
 
 def _pow2_at_least(n: int, lo: int) -> int:
@@ -72,10 +91,12 @@ def _pow2_at_least(n: int, lo: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("budget",))
 def gate_compact(plane_rows, plane_cols, bvc_rows, bvc_cols, order_rows,
-                 order_cols, n_rows, n_cols, tab, budget: int):
+                 order_cols, n_rows, n_cols, tab, cached_state, budget: int):
     """Gate matmul + threshold + (order_row < order_col) mask + compaction.
 
-    Returns (pr, pc, n_gated): pair slot indices into the row/col id arrays.
+    ``cached_state`` [r, c] uint8 (0 = unscored): pairs with a cached score
+    outcome are excluded from compaction (their decision is merged from the
+    cache).  Returns (pr, pc, n_gated) pair slot indices.
     """
     r = plane_rows.shape[0]
     c = plane_cols.shape[0]
@@ -89,37 +110,48 @@ def gate_compact(plane_rows, plane_cols, bvc_rows, bvc_cols, order_rows,
     ri = jax.lax.broadcasted_iota(jnp.int32, (r, c), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
     passed &= (ri < n_rows) & (ci < n_cols)
+    gated_mask = passed
+    passed = passed & (cached_state == 0)
     flat = passed.reshape(-1)
     n_gated = flat.sum(dtype=jnp.int32)
     idx = jnp.nonzero(flat, size=budget, fill_value=-1)[0].astype(jnp.int32)
     valid = idx >= 0
     pr = jnp.where(valid, jnp.clip(idx, 0) // c, -1)
     pc = jnp.where(valid, jnp.clip(idx, 0) % c, -1)
-    return pr, pc, n_gated
+    return pr, pc, n_gated, gated_mask
 
 
-@functools.partial(jax.jit, static_argnames=("k_width",))
-def classify_pairs(pr, pc, a_read_ids, b_read_ids, nk, k_width: int):
-    """Split the compacted pair list into small-K / large-K classes.
+@functools.partial(jax.jit, static_argnames=("bounds",))
+def classify_pairs(pr, pc, read_ids, nk, bounds: Tuple[int, ...]):
+    """Bucket the compacted pair list by pair max-nk into len(bounds)+1
+    K classes (bounds ascending; last class unbounded).
 
-    Returns (small_idx, n_small, large_idx, n_large): indices into pr/pc,
-    compacted to the front (fill -1)."""
+    Returns a tuple of (idx [budget], count) per class; idx compacted to
+    the front (fill -1)."""
     budget = pr.shape[0]
     valid = pr >= 0
-    a_ids = jnp.take(a_read_ids, jnp.clip(pr, 0))
-    b_ids = jnp.take(b_read_ids, jnp.clip(pc, 0))
+    a_ids = jnp.take(read_ids, jnp.clip(pr, 0))
+    b_ids = jnp.take(read_ids, jnp.clip(pc, 0))
     pair_nk = jnp.maximum(jnp.take(nk, a_ids), jnp.take(nk, b_ids))
-    small = valid & (pair_nk <= k_width)
-    large = valid & (pair_nk > k_width)
-    si = jnp.nonzero(small, size=budget, fill_value=-1)[0].astype(jnp.int32)
-    li = jnp.nonzero(large, size=budget, fill_value=-1)[0].astype(jnp.int32)
-    return si, small.sum(dtype=jnp.int32), li, large.sum(dtype=jnp.int32)
+    out = []
+    lo = 0
+    for i, hi in enumerate(list(bounds) + [None]):
+        in_cls = valid & (pair_nk > lo)
+        if hi is not None:
+            in_cls &= pair_nk <= hi
+            lo = hi
+        idx = jnp.nonzero(in_cls, size=budget, fill_value=-1)[0] \
+            .astype(jnp.int32)
+        out.append((idx, in_cls.sum(dtype=jnp.int32)))
+    return tuple(out)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("m_cap", "kmer_size", "hc_max_dist"))
+                   static_argnames=("m_cap", "kmer_size", "hc_max_dist",
+                                    "use_pallas"))
 def score_chunk(a_ids, b_ids, act, hs_a, ps_a, nk, hs_b, ps_b, lens, sc_tab,
-                t_v, var_band, m_cap: int, kmer_size: int, hc_max_dist: int):
+                t_v, var_band, m_cap: int, kmer_size: int, hc_max_dist: int,
+                use_pallas: bool = False):
     """Join+LIS decision for one fixed-shape chunk of pairs.
 
     Both sides gather their SORTED k-mer tables (a = seed read, forward;
@@ -131,17 +163,23 @@ def score_chunk(a_ids, b_ids, act, hs_a, ps_a, nk, hs_b, ps_b, lens, sc_tab,
     hs = jnp.take(hs_b, b_ids, axis=0)
     ps = jnp.take(ps_b, b_ids, axis=0)
     nk_b = jnp.take(nk, b_ids, axis=0)
-    p1, p2, total = sorted_join_expand(hsa, psa, nk_a, hs, ps, nk_b, m_cap)
+    p1, p2, total = sorted_join_expand(hsa, psa, nk_a, hs, ps, nk_b, m_cap,
+                                       packed=kmer_size <= 15)
     mvalid = jax.lax.broadcasted_iota(jnp.int32, p1.shape, 1) < \
         jnp.minimum(total, m_cap)[:, None]
-    p_pred, m_idx, l = lis_build_select(p2, mvalid)
-    s_arr = lis_reconstruct_select(p_pred, m_idx, l)
-    a1 = jnp.take_along_axis(p1, s_arr, axis=1)
-    a2 = jnp.take_along_axis(p2, s_arr, axis=1)
-    bases, _hc, kept, dist_arr = anchor_filter_select(a1, a2, l, kmer_size,
-                                                      hc_max_dist)
-    n_dist = jnp.maximum(kept - 1, 0)
-    var = _variance(dist_arr, n_dist)
+    if use_pallas:
+        from ..ops.pallas_kernels import lis_filter_pallas
+        bases, _hc, n_dist, var = lis_filter_pallas(
+            p1, p2, mvalid, kmer_size, hc_max_dist)
+    else:
+        p_pred, m_idx, l = lis_build_select(p2, mvalid)
+        s_arr = lis_reconstruct_select(p_pred, m_idx, l)
+        a1 = jnp.take_along_axis(p1, s_arr, axis=1)
+        a2 = jnp.take_along_axis(p2, s_arr, axis=1)
+        bases, _hc, kept, dist_arr = anchor_filter_select(
+            a1, a2, l, kmer_size, hc_max_dist)
+        n_dist = jnp.maximum(kept - 1, 0)
+        var = _variance(dist_arr, n_dist)
     mn = jnp.minimum(jnp.take(lens, a_ids), jnp.take(lens, b_ids))
     score_ok = bases >= sc_tab[mn]
     borderline = jnp.abs(var - t_v) <= var_band
@@ -157,6 +195,28 @@ def scatter_decisions(w, pr, pc, win, value):
     n = w.shape[0]
     rr = jnp.where(win & (pr >= 0), pr, n + 1)
     return w.at[rr, jnp.clip(pc, 0)].max(value, mode="drop")
+
+
+@jax.jit
+def merge_cached_wins(w, gated_mask, cached_state, value):
+    """Fold cached score-yes outcomes of gated pairs into the decision
+    matrix (cached score-no pairs simply stay 0)."""
+    hit = gated_mask & (cached_state == 2)
+    return jnp.maximum(w, jnp.where(hit, value, jnp.int8(0)))
+
+
+@jax.jit
+def gather_cache(cache, d_read_of):
+    """cache[read_of x read_of] submatrix."""
+    return jnp.take(jnp.take(cache, d_read_of, axis=0), d_read_of, axis=1)
+
+
+@jax.jit
+def cache_scatter(cache, ra, rb, decided, win):
+    """Record decided outcomes: cache[ra, rb] = 2 (win) / 1 (no)."""
+    val = jnp.where(win, jnp.uint8(2), jnp.uint8(1))
+    rr = jnp.where(decided & (ra >= 0), ra, cache.shape[0] + 1)
+    return cache.at[rr, jnp.clip(rb, 0)].max(val, mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("budget",))
@@ -214,13 +274,21 @@ class BulkClusterEngine:
             self.seqs, params.kmer_size, not params.is_rna)
         sk = self.sk
         self.n_pad = sk.hbp.shape[0]
-        self.ksmall = min(K_SMALL, sk.kmax)
-        self.d_hbp_s = sk.hbp[:, : self.ksmall]
-        self.d_hs_s = sk.hs[:, : self.ksmall]
-        self.d_ps_s = sk.ps[:, : self.ksmall]
-        if not params.is_rna:
-            self.d_rev_hs_s = sk.rev_hs[:, : self.ksmall]
-            self.d_rev_ps_s = sk.rev_ps[:, : self.ksmall]
+        # per-K-class table slices (narrower sorts for shorter reads)
+        self.class_bounds = []
+        self._cls_tabs = []
+        for w in K_CLASSES:
+            wid = sk.kmax if w == 0 else min(w, sk.kmax)
+            tabs = {"hs": sk.hs[:, :wid], "ps": sk.ps[:, :wid]}
+            if not params.is_rna:
+                tabs["rev_hs"] = sk.rev_hs[:, :wid]
+                tabs["rev_ps"] = sk.rev_ps[:, :wid]
+            self._cls_tabs.append(tabs)
+            if w != 0 and wid < sk.kmax:
+                self.class_bounds.append(wid)
+        # drop duplicate classes when kmax is small
+        self.n_classes = len(self.class_bounds) + 1
+        self._cls_tabs = self._cls_tabs[: self.n_classes]
         self.score_min = jnp.asarray(
             gates.min_numerator_table(max(self.read_lens), params.t_s))
         self._bv_tables: Dict[float, jnp.ndarray] = {}
@@ -228,6 +296,14 @@ class BulkClusterEngine:
         self._host_cache: Dict[Tuple[int, int, bool], bool] = {}
         self.n_oracle_fallbacks = 0
         self.var_band = np.float32(VAR_BAND_REL * max(self.p.t_v, 1.0))
+        # cross-round score cache: outcomes are threshold-independent and
+        # directional (a = seed side); 0 unscored / 1 score-no / 2 score-yes
+        self._cache = {False: jnp.zeros((self.n_pad, self.n_pad), jnp.uint8)}
+        if not params.is_rna:
+            self._cache[True] = jnp.zeros((self.n_pad, self.n_pad), jnp.uint8)
+        self._cache_live = False
+        from ..ops.pallas_kernels import supported as _pallas_ok
+        self._pallas = _pallas_ok()
 
     # ---------- helpers ----------
 
@@ -322,13 +398,14 @@ class BulkClusterEngine:
     # ---------- bulk decision matrix ----------
 
     def _score_list(self, rows, cols, n_pairs: int, d_read_of, rev: bool,
-                    small: bool, m_cap: int, chunk: int):
+                    cls_i: int, m_cap: int, chunk: int):
         """Score direct (row, col) position pairs (fill -1) at ``m_cap``;
         returns (win, needs_host) [len] bool aligned with rows/cols."""
         budget = rows.shape[0]
-        hs_a, ps_a, hs_b, ps_b = self._class_tables(small, rev)
+        hs_a, ps_a, hs_b, ps_b = self._class_tables(cls_i, rev)
         win = jnp.zeros((budget,), jnp.bool_)
         host = jnp.zeros((budget,), jnp.bool_)
+        scored = jnp.zeros((budget,), jnp.bool_)
         chunk = min(chunk, _pow2_at_least(max(n_pairs, 1), 64))
         n_chunks = -(-max(n_pairs, 1) // chunk)
         for c0 in range(n_chunks):
@@ -341,30 +418,30 @@ class BulkClusterEngine:
                 a_ids, b_ids, act, hs_a, ps_a, self.sk.nk, hs_b, ps_b,
                 self.sk.lens, self.score_min, jnp.float32(self.p.t_v),
                 jnp.float32(self.var_band), m_cap, self.p.kmer_size,
-                self.p.hc_max_dist)
+                self.p.hc_max_dist,
+                use_pallas=self._pallas and m_cap <= 512 and chunk % 128 == 0)
             slot = c0 * chunk + jnp.arange(chunk)
             w_idx = jnp.where(act, slot, budget + 1)
             win = win.at[w_idx].set(w_c, mode="drop")
             host = host.at[w_idx].set(h_c, mode="drop")
-        return win, host
+            scored = scored.at[w_idx].set(True, mode="drop")
+        return win, host, scored
 
-    def _class_tables(self, small: bool, rev: bool):
-        if small:
-            return (self.d_hs_s, self.d_ps_s,
-                    self.d_rev_hs_s if rev else self.d_hs_s,
-                    self.d_rev_ps_s if rev else self.d_ps_s)
-        return (self.sk.hs, self.sk.ps,
-                self.sk.rev_hs if rev else self.sk.hs,
-                self.sk.rev_ps if rev else self.sk.ps)
+    def _class_tables(self, cls_i: int, rev: bool):
+        t = self._cls_tabs[cls_i]
+        return (t["hs"], t["ps"],
+                t["rev_hs"] if rev else t["hs"],
+                t["rev_ps"] if rev else t["ps"])
 
     def _score_class(self, pr, pc, cls_idx, n_cls: int, d_read_of,
-                     rev: bool, small: bool, m_cap: int, chunk: int):
+                     rev: bool, cls_i: int, m_cap: int, chunk: int):
         """Score one K-class of the compacted pairs; returns device
         (win [budget] bool, needs_host [budget] bool) aligned with pr/pc."""
         budget = pr.shape[0]
-        hs_a, ps_a, hs_b, ps_b = self._class_tables(small, rev)
+        hs_a, ps_a, hs_b, ps_b = self._class_tables(cls_i, rev)
         win = jnp.zeros((budget,), jnp.bool_)
         host = jnp.zeros((budget,), jnp.bool_)
+        scored = jnp.zeros((budget,), jnp.bool_)
         chunk = min(chunk, _pow2_at_least(max(n_cls, 1), 256))
         n_chunks = -(-max(n_cls, 1) // chunk)
         for c0 in range(n_chunks):
@@ -377,11 +454,13 @@ class BulkClusterEngine:
                 a_ids, b_ids, act, hs_a, ps_a, self.sk.nk, hs_b, ps_b,
                 self.sk.lens, self.score_min, jnp.float32(self.p.t_v),
                 jnp.float32(self.var_band), m_cap, self.p.kmer_size,
-                self.p.hc_max_dist)
+                self.p.hc_max_dist,
+                use_pallas=self._pallas and m_cap <= 512 and chunk % 128 == 0)
             w_idx = jnp.where(act, selc, budget + 1)  # inactive lanes drop
             win = win.at[w_idx].set(w_c, mode="drop")
             host = host.at[w_idx].set(h_c, mode="drop")
-        return win, host
+            scored = scored.at[w_idx].set(True, mode="drop")
+        return win, host, scored
 
     def _decide_matrix(self, read_of: np.ndarray, order_pad: int,
                        threshold: float) -> jnp.ndarray:
@@ -408,33 +487,52 @@ class BulkClusterEngine:
                     if order_pad != self.n_pad else sk.rev_plane
             else:
                 plane_cols = plane_rows
+            import time as _time
+            _t = _time.time()
+            cache = self._cache[rev]
+            if self._cache_live:
+                cached_sub = gather_cache(cache, d_read_of)
+            else:
+                cached_sub = jnp.zeros((order_pad, order_pad), jnp.uint8)
             budget = min(GATE_BUDGET,
                          _pow2_at_least(order_pad * order_pad, 1024))
             while True:
-                pr, pc, n_gated = gate_compact(
+                pr, pc, n_gated, gated_mask = gate_compact(
                     plane_rows, plane_cols, bvc_rows, bvc_rows, d_order,
-                    d_order, jnp.int32(m), jnp.int32(m), tab, budget)
+                    d_order, jnp.int32(m), jnp.int32(m), tab, cached_sub,
+                    budget)
                 ng = int(n_gated)
                 if ng <= budget:
                     break
                 budget = _pow2_at_least(ng, budget * 2)
-            si, n_s, li, n_l = classify_pairs(pr, pc, d_read_of, d_read_of,
-                                              sk.nk, self.ksmall)
+            val0 = jnp.int8(1 if rev else 2)
+            if self._cache_live:
+                w = merge_cached_wins(w, gated_mask, cached_sub, val0)
+            _prof(f"gate m={m} ng={ng}", _t, pr)
+            _t = _time.time()
+            classes = classify_pairs(pr, pc, d_read_of, sk.nk,
+                                     tuple(self.class_bounds))
             val = jnp.int8(1 if rev else 2)
-            for small, cls_idx, n_cls in ((True, si, int(n_s)),
-                                          (False, li, int(n_l))):
+            _prof("classify", _t)
+            for cls_i in range(self.n_classes):
+                _t = _time.time()
+                cls_idx, n_cls = classes[cls_i]
+                n_cls = int(n_cls)
                 if n_cls == 0:
                     continue
-                m0, cs0, cl0 = M_LADDER[0]
-                win, host = self._score_class(pr, pc, cls_idx, n_cls,
-                                              d_read_of, rev, small, m0,
-                                              cs0 if small else cl0)
+                win, host, scored = self._score_class(
+                    pr, pc, cls_idx, n_cls, d_read_of, rev, cls_i,
+                    M_LADDER[0], LADDER_CHUNKS[cls_i][0])
                 w = scatter_decisions(w, pr, pc, win, val)
+                ra = jnp.take(d_read_of, jnp.clip(pr, 0))
+                rb = jnp.take(d_read_of, jnp.clip(pc, 0))
+                cache = cache_scatter(cache, jnp.where(pr >= 0, ra, -1), rb,
+                                      scored & ~host, win)
 
                 # escalate overflow/borderline pairs up the M ladder
                 cur_rows, cur_cols, flagged = pr, pc, host
                 exhausted = True
-                for m_cap, cs_, cl_ in M_LADDER[1:]:
+                for t_i, m_cap in enumerate(M_LADDER[1:], start=1):
                     hb = HOST_BUDGET
                     while True:
                         tr, tc, n_t = compact_flagged(cur_rows, cur_cols,
@@ -446,13 +544,20 @@ class BulkClusterEngine:
                     if n_ti == 0:
                         exhausted = False
                         break
-                    win_t, host_t = self._score_list(
-                        tr, tc, n_ti, d_read_of, rev, small, m_cap,
-                        cs_ if small else cl_)
+                    win_t, host_t, scored_t = self._score_list(
+                        tr, tc, n_ti, d_read_of, rev, cls_i, m_cap,
+                        LADDER_CHUNKS[cls_i][t_i])
                     w = scatter_decisions(w, tr, tc, win_t, val)
+                    ra_t = jnp.take(d_read_of, jnp.clip(tr, 0))
+                    rb_t = jnp.take(d_read_of, jnp.clip(tc, 0))
+                    cache = cache_scatter(cache,
+                                          jnp.where(tr >= 0, ra_t, -1), rb_t,
+                                          scored_t & ~host_t, win_t)
                     cur_rows, cur_cols, flagged = tr, tc, host_t
                 if exhausted:
                     host_jobs.append((rev, cur_rows, cur_cols, flagged))
+                _prof(f"class{cls_i} n={n_cls}", _t, w)
+            self._cache[rev] = cache
 
         # exact host rescoring of the still-flagged pairs (f64, batched
         # through the native scorer like the reference's math)
@@ -473,15 +578,29 @@ class BulkClusterEngine:
             for r_, c_ in zip(hr, hc_):
                 batch.append((rev, int(read_of[r_]), int(read_of[c_]),
                               int(r_), int(c_)))
+        _t = __import__("time").time()
+        _prof("cacheflush", _t, self._cache[strands[-1]])
+        _t = __import__("time").time()
+        cache_upd: Dict[bool, List[Tuple[int, int, bool]]] = {}
         for rev, a, b, r_, c_, ok in self._host_rescore_batch(batch):
+            cache_upd.setdefault(rev, []).append((a, b, ok))
             if ok:
                 patches.append((r_, c_, 1 if rev else 2))
+        for rev, upd in cache_upd.items():
+            arr = np.array([(a, b) for a, b, _ok in upd], dtype=np.int32)
+            oks = np.array([ok for _a, _b, ok in upd], dtype=bool)
+            self._cache[rev] = cache_scatter(
+                self._cache[rev], jnp.asarray(arr[:, 0]),
+                jnp.asarray(arr[:, 1]), jnp.ones(len(arr), bool),
+                jnp.asarray(oks))
         if patches:
             arr = np.array(patches, dtype=np.int32)
             w = scatter_decisions(w, jnp.asarray(arr[:, 0]),
                                   jnp.asarray(arr[:, 1]),
                                   jnp.ones((len(arr),), jnp.bool_),
                                   jnp.asarray(arr[:, 2], jnp.int8))
+        _prof("hostpatch", _t, w)
+        self._cache_live = True
         return w
 
     def _greedy_groups(self, read_of: np.ndarray, threshold: float):

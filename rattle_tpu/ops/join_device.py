@@ -25,11 +25,13 @@ INT32_MAX = 2**31 - 1
 PAD_HASH = jnp.uint32(0xFFFFFFFF)
 
 
-def sorted_join_expand(hs_a, ps_a, nk_a, hs_b, ps_b, nk_b, m_cap: int):
+def sorted_join_expand(hs_a, ps_a, nk_a, hs_b, ps_b, nk_b, m_cap: int,
+                       packed: bool = True):
     """(p1 [B,M], p2 [B,M], total [B]) for B pairs of sorted k-mer tables.
 
     hs_* [B, W*] hash-sorted tables, ps_* co-sorted positions, nk_* [B] valid
-    counts.  W_a and W_b may differ (K-class mixing).
+    counts.  W_a and W_b may differ (K-class mixing).  ``packed`` uses a
+    fused single 32-bit sort key — valid only for hashes < 2^31 (k <= 15).
     """
     b, wa = hs_a.shape
     wb = hs_b.shape[1]
@@ -41,13 +43,28 @@ def sorted_join_expand(hs_a, ps_a, nk_a, hs_b, ps_b, nk_b, m_cap: int):
     vb = cols_b < nk_b[:, None]
     # pads: hash PAD + pos -1 (a real k=16 hash CAN equal PAD — the pos>=0
     # test keeps it, unlike count-clamping approaches)
-    h = jnp.concatenate([jnp.where(va, hs_a, PAD_HASH),
-                         jnp.where(vb, hs_b, PAD_HASH)], axis=1)
-    side = jnp.concatenate([jnp.zeros((b, wa), jnp.int32),
-                            jnp.ones((b, wb), jnp.int32)], axis=1)
-    pos = jnp.concatenate([jnp.where(va, ps_a, -1),
-                           jnp.where(vb, ps_b, -1)], axis=1)
-    h, side, pos = jax.lax.sort((h, side, pos), dimension=1, num_keys=2)
+    ha = jnp.where(va, hs_a, PAD_HASH)
+    hb = jnp.where(vb, hs_b, PAD_HASH)
+    pos_cat = jnp.concatenate([jnp.where(va, ps_a, -1),
+                               jnp.where(vb, ps_b, -1)], axis=1)
+    if packed:
+        # pack (hash, side) into one 32-bit key (requires hash < 2^31, i.e.
+        # k <= 15; PAD clamps to the top and still sorts last).  Within-run
+        # order is irrelevant — the final (p1, p2) sort normalizes emission
+        # order — so one sort operand less.
+        key = jnp.concatenate([
+            jnp.minimum(ha, jnp.uint32(0x7FFFFFFE)) << 1,
+            (jnp.minimum(hb, jnp.uint32(0x7FFFFFFE)) << 1) | jnp.uint32(1),
+        ], axis=1)
+        key, pos = jax.lax.sort_key_val(key, pos_cat, dimension=1)
+        h = key >> 1
+        side = (key & 1).astype(jnp.int32)
+    else:
+        h = jnp.concatenate([ha, hb], axis=1)
+        side = jnp.concatenate([jnp.zeros((b, wa), jnp.int32),
+                                jnp.ones((b, wb), jnp.int32)], axis=1)
+        h, side, pos = jax.lax.sort((h, side, pos_cat), dimension=1,
+                                    num_keys=2)
     valid = pos >= 0
 
     is_a = (side == 0) & valid

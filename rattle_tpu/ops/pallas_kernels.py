@@ -94,3 +94,168 @@ def supported() -> bool:
             jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
+
+
+# --------------------------------------------------------------------------
+# Fused patience-LIS + anchor-filter + variance kernel
+# --------------------------------------------------------------------------
+#
+# The decision score (similarity.cpp:4-97) is three sequential M-step scans.
+# As XLA scans each step round-trips an ~8 MB carry through HBM; here the
+# whole state lives in VMEM and one kernel launch covers all three phases.
+# Layout is [M, TB] ("match-major"): per-step work is a handful of wide
+# compare/select/reduce ops over sublanes, which the VPU executes at rate.
+#
+# Float note: the variance reduction order differs from the XLA twin, so the
+# f32 result can differ in the last ulps; decisions remain exact because
+# borderline-variance pairs are re-scored on the host in f64 (cluster/bulk).
+
+NEG_I32 = -(2**31)
+BIG_I32 = 2**31 - 1
+LIS_TB = 512
+
+
+def _lis_kernel_body(m: int, tb: int, kmer_size: int, hc_max_dist: int):
+    def kernel(p1_ref, p2_ref, valid_ref, bases_ref, hc_ref, ndist_ref,
+               var_ref, tails, m_idx, p_pred, a1b, a2b, distb):
+        rows1 = jax.lax.broadcasted_iota(jnp.int32, (m + 1, tb), 0)
+        rowsm = jax.lax.broadcasted_iota(jnp.int32, (m, tb), 0)
+        tails[:] = jnp.where(rows1 == 0, NEG_I32, BIG_I32).astype(jnp.int32)
+        m_idx[:] = jnp.zeros((m + 1, tb), jnp.int32)
+        p_pred[:] = jnp.zeros((m, tb), jnp.int32)
+        a1b[:] = jnp.zeros((m, tb), jnp.int32)
+        a2b[:] = jnp.zeros((m, tb), jnp.int32)
+        distb[:] = jnp.zeros((m, tb), jnp.int32)
+
+        # phase 1: patience LIS build (similarity.cpp:10-31)
+        def build(i, l):
+            v = p2_ref[pl.ds(i, 1), :]                        # [1, TB]
+            ok = valid_ref[pl.ds(i, 1), :] != 0
+            t = tails[:]
+            lvl = (t < v).astype(jnp.int32).sum(axis=0)[None, :]
+            pred = jnp.where(rows1 == (lvl - 1), m_idx[:], 0) \
+                .sum(axis=0)[None, :]
+            p_pred[pl.ds(i, 1), :] = jnp.where(ok, pred, 0)
+            upd = ok & (rows1 == lvl)
+            m_idx[:] = jnp.where(upd, i, m_idx[:])
+            tails[:] = jnp.where(upd, v, t)
+            return jnp.where(ok, jnp.maximum(l, lvl), l)
+
+        l = jax.lax.fori_loop(0, m, build, jnp.zeros((1, tb), jnp.int32))
+
+        # phase 2: backward reconstruction, emitting anchor values in
+        # forward order (similarity.cpp:37-44)
+        k0 = jnp.where(rows1 == l, m_idx[:], 0).sum(axis=0)[None, :]
+
+        def rec(i, k):
+            active = i < l
+            w = l - 1 - i
+            sel_k = rowsm == k
+            a1v = jnp.where(sel_k, p1_ref[:], 0).sum(axis=0)[None, :]
+            a2v = jnp.where(sel_k, p2_ref[:], 0).sum(axis=0)[None, :]
+            wmask = active & (rowsm == w)
+            a1b[:] = jnp.where(wmask, a1v, a1b[:])
+            a2b[:] = jnp.where(wmask, a2v, a2b[:])
+            k_next = jnp.where(sel_k, p_pred[:], 0).sum(axis=0)[None, :]
+            return jnp.where(active, k_next, k)
+
+        jax.lax.fori_loop(0, m, rec, k0)
+
+        # phase 3: forward anchor filter (similarity.cpp:52-85)
+        z = jnp.zeros((1, tb), jnp.int32)
+
+        def filt(i, carry):
+            lf, ls, prev_a2, bases, hc, kept = carry
+            x1 = a1b[pl.ds(i, 1), :]
+            x2 = a2b[pl.ds(i, 1), :]
+            active = i < l
+            first = kept == 0
+            d1 = x1 - lf
+            d2 = x2 - ls
+            keep_cond = ((d1 < kmer_size) & (d2 < kmer_size)) | \
+                ((d1 >= kmer_size) & (d2 >= kmer_size))
+            keep = active & (first | keep_cond)
+            ex = kmer_size - (x2 - prev_a2)
+            add = kmer_size - jnp.maximum(ex, 0)
+            dist = (x2 - ls) - (x1 - lf)
+            inc = jnp.where(first, kmer_size, add)
+            bases = bases + jnp.where(keep, inc, 0)
+            hc_inc = jnp.where(first, kmer_size,
+                               jnp.where(dist < hc_max_dist, add, 0))
+            hc = hc + jnp.where(keep, hc_inc, 0)
+            rec_m = keep & jnp.logical_not(first)
+            distb[:] = jnp.where(rec_m & (rowsm == kept - 1), dist, distb[:])
+            kept = kept + keep.astype(jnp.int32)
+            lf = jnp.where(keep, x1, lf)
+            ls = jnp.where(keep, x2, ls)
+            prev_a2 = jnp.where(active, x2, prev_a2)
+            return lf, ls, prev_a2, bases, hc, kept
+
+        _, _, _, bases, hc, kept = jax.lax.fori_loop(
+            0, m, filt, (z, z, z, z, z, z))
+
+        # variance over the recorded gap differences (utils.cpp:36-55, f32)
+        n = jnp.maximum(kept - 1, 0)
+        mask = rowsm < n
+        df = jnp.where(mask, distb[:], 0).astype(jnp.float32)
+        nf = jnp.maximum(n, 1).astype(jnp.float32)
+        mean = df.sum(axis=0)[None, :] / nf
+        d = jnp.where(mask, df - mean, 0.0)
+        ss = (d * d).sum(axis=0)[None, :]
+        comp = d.sum(axis=0)[None, :]
+        denom = jnp.maximum(n - 1, 1).astype(jnp.float32)
+        var = (ss - comp * comp / nf) / denom
+        var = jnp.where(n == 0, 0.0, var)
+        var = jnp.where(n == 1, jnp.inf, var)
+
+        bases_ref[:] = bases
+        hc_ref[:] = hc
+        ndist_ref[:] = n
+        var_ref[:] = var
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("kmer_size", "hc_max_dist",
+                                             "interpret"))
+def lis_filter_pallas(p1, p2, valid, kmer_size: int, hc_max_dist: int = 10,
+                      interpret: bool = False):
+    """Fused LIS + filter + variance for [B, M] match lists.
+
+    B must be a multiple of LIS_TB.  Returns (bases, hc, n_dist, var) [B].
+    """
+    b, m = p1.shape
+    tb = min(LIS_TB, b)
+    while b % tb:
+        tb //= 2
+    p1t = p1.T
+    p2t = p2.T
+    vt = valid.astype(jnp.int32).T
+    grid = (b // tb,)
+    in_spec = pl.BlockSpec((m, tb), lambda j: (0, j), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, tb), lambda j: (0, j),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _lis_kernel_body(m, tb, kmer_size, hc_max_dist),
+        grid=grid,
+        in_specs=[in_spec, in_spec, in_spec],
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((1, b), jnp.int32),
+                   jax.ShapeDtypeStruct((1, b), jnp.int32),
+                   jax.ShapeDtypeStruct((1, b), jnp.int32),
+                   jax.ShapeDtypeStruct((1, b), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((m + 1, tb), jnp.int32),
+            pltpu.VMEM((m + 1, tb), jnp.int32),
+            pltpu.VMEM((m, tb), jnp.int32),
+            pltpu.VMEM((m, tb), jnp.int32),
+            pltpu.VMEM((m, tb), jnp.int32),
+            pltpu.VMEM((m, tb), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=9 * b * m * (m + 1), bytes_accessed=b * m * 12,
+            transcendentals=0),
+        interpret=interpret,
+    )(p1t, p2t, vt)
+    bases, hc, ndist, var = out
+    return bases[0], hc[0], ndist[0], var[0]
