@@ -266,6 +266,12 @@ class BulkClusterEngine:
 
     def __init__(self, seqs: Sequence[str], params: ClusterParams,
                  sketch: Optional[DeviceSketch] = None):
+        if params.use_hc:
+            # unreachable from the reference CLI (no main.cpp flag sets
+            # use_hc); score_chunk gates on `bases` so mixing metrics with
+            # the host's hc path would silently diverge
+            raise NotImplementedError("use_hc not supported by the bulk "
+                                      "engine; use the oracle engine")
         self.seqs = list(seqs)
         self.p = params
         self.n = len(seqs)
@@ -473,18 +479,22 @@ class BulkClusterEngine:
         d_order = jnp.arange(order_pad, dtype=jnp.int32)
         sk = self.sk
 
-        plane_rows = jnp.take(sk.plane, d_read_of, axis=0) \
-            if order_pad != self.n_pad else sk.plane
-        bvc_rows = jnp.take(sk.bvc, d_read_of) \
-            if order_pad != self.n_pad else sk.bvc
+        # the no-gather shortcut is valid ONLY when read_of is literally the
+        # identity map — merge rounds pass rep ids and may still collide with
+        # n_pad on order_pad (e.g. 48-256 reads pad to the same 256)
+        identity = (order_pad == self.n_pad and m == self.n
+                    and bool(np.array_equal(read_of, np.arange(m))))
+        plane_rows = sk.plane if identity \
+            else jnp.take(sk.plane, d_read_of, axis=0)
+        bvc_rows = sk.bvc if identity else jnp.take(sk.bvc, d_read_of)
 
         w = jnp.zeros((order_pad, order_pad), jnp.int8)
         strands = [False] if self.p.is_rna else [False, True]
         host_jobs = []
         for rev in strands:
             if rev:
-                plane_cols = jnp.take(sk.rev_plane, d_read_of, axis=0) \
-                    if order_pad != self.n_pad else sk.rev_plane
+                plane_cols = sk.rev_plane if identity \
+                    else jnp.take(sk.rev_plane, d_read_of, axis=0)
             else:
                 plane_cols = plane_rows
             import time as _time

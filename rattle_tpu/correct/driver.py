@@ -141,10 +141,22 @@ def correct_reads(clusters: ClusterSet, reads: ReadSet, p: CorrectParams,
     done = {}
     if checkpoint_dir is not None:
         from ..utils.checkpoint import CorrectCheckpoint, params_key
+        # digest the actual inputs, not just their counts: reusing a
+        # checkpoint dir after reads/clusters changed (same sizes) must
+        # invalidate, or stale pack outputs would splice into the results
+        import hashlib
+        h = hashlib.sha256()
+        for r in reads:
+            h.update(r.header.encode())
+            h.update(str(len(r.seq)).encode())
+        for c in clusters:
+            h.update(b"|%d:%d" % (c.main_seq.seq_id, c.main_seq.gene_id))
+            for s in c.seqs:
+                h.update(b",%d%d" % (s.seq_id, s.rev))
         ckpt = CorrectCheckpoint(checkpoint_dir, params_key(
             n_clusters=len(clusters), n_reads=len(reads), split=p.split,
             min_reads=p.min_reads, min_occ=p.min_occ, gap_occ=p.gap_occ,
-            err_ratio=p.err_ratio))
+            err_ratio=p.err_ratio, inputs=h.hexdigest()))
         done = ckpt.load()
 
     todo = [pk for i, pk in enumerate(packs) if i not in done]

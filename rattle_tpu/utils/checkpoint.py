@@ -106,6 +106,14 @@ class CorrectCheckpoint:
         os.makedirs(self.dir, exist_ok=True)
         if self._fh is None:
             self._fh = open(self.records_path, "a")
+            # a crash can leave a torn (newline-less) tail; gluing the next
+            # record onto it would also poison every record after it at
+            # load() time — start on a fresh line
+            if self._fh.tell() > 0:
+                with open(self.records_path, "rb") as rf:
+                    rf.seek(-1, os.SEEK_END)
+                    if rf.read(1) != b"\n":
+                        self._fh.write("\n")
         self._fh.write(json.dumps({
             "pack_id": res.pack_id,
             "corrected": [_read_to_obj(r) for r in res.corrected],

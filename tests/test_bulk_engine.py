@@ -36,6 +36,25 @@ def test_bulk_matches_oracle_iso_params(synthetic_families):
     assert _sig(got) == _sig(golden)
 
 
+def test_bulk_merge_round_nonidentity_gather(rng):
+    """Regression: merge rounds pass non-identity read_of (cluster rep ids);
+    when _pow2_at_least(m, 256) == n_pad (any 48-256-read input) the engine
+    must STILL gather plane/bvc rows by read id — the identity shortcut used
+    to key on order_pad == n_pad and compared the wrong reads' bitvectors."""
+    from tests.conftest import make_read, mutate
+    refs = [make_read(rng, int(rng.integers(200, 300))) for _ in range(8)]
+    seqs = []
+    for ref in refs:
+        for _ in range(6):
+            seqs.append(mutate(rng, ref, 0.12))
+    seqs = seqs[:50]
+    seqs.sort(key=lambda s: -len(s))
+    params = ClusterParams(is_rna=True)
+    golden = oracle.cluster_reads(seqs, params)
+    got = BulkClusterEngine(seqs, params).cluster()
+    assert _sig(got) == _sig(golden)
+
+
 def test_bulk_with_revcomp_members(rng):
     """cDNA mode with explicitly reverse-complemented reads."""
     from rattle_tpu.ops.encode import reverse_complement_str
