@@ -1,34 +1,45 @@
-"""Bulk TPU clustering engine: all-pairs decisions + on-device greedy replay.
+"""Frontier TPU clustering engine: exact greedy parity at batch granularity.
 
-The reference's greedy loop (cluster.cpp:124-166) serializes seed-vs-candidate
-scans; its pair decision is a pure function of the two reads, so the whole
-outcome is determined by the pairwise win matrix.  This engine computes that
-matrix in bulk, entirely on device:
+The reference's greedy loop (cluster.cpp:124-166) scores each seed against
+every still-unclustered later read.  Scoring ALL gated pairs up front (the
+round-1 design) overcomputes ~10x: most gated pairs are between two reads of
+the same cluster, and the reference only ever scores the one that absorbs.
 
-  1. GATE: 6-mer bit planes contracted on the MXU — one [N, N] bf16 matmul
-     equals popcount(AND) for every pair (cluster.cpp:13-19) — then the
-     integer-exact threshold table and an id-order mask, compacted to a pair
-     list with ``jnp.nonzero`` (device).
-  2. SCORE: fixed-shape chunks gather each pair's k-mer tables and run the
-     sorted-join + patience-LIS + variance gates (ops/similarity.py).  Pairs
-     whose match list overflows the cap or whose f32 variance lands in a
-     borderline band are flagged for exact host rescoring.
-  3. REPLAY: win flags scatter into an [N, N] decision matrix and a
-     ``fori_loop`` replays the reference's sequential absorption exactly
-     (first winning seed claims the read; lowest index wins).  Only the
-     [N] owner/strand vectors ever cross the (slow) device->host link.
+This engine replays the exact same decisions in O(N/K) device waves:
 
-The same kernels drive the representative-vs-representative merge rounds
-(cluster.cpp:171-256) at the cluster level, including the final threshold-0
-round (gate bypass).
+  1. BLOCK: take the first K unclustered reads (in greedy order).  Every
+     pair inside the block is decided (gate + join + LIS), and an on-device
+     replay of the sequential absorption (greedy_owner) determines which
+     block reads are true seeds.  A block read can only be absorbed by an
+     EARLIER block read, so seed status is exact.
+  2. SWEEP: the true seeds are scored against every unclustered read after
+     the block in one batched pass; each such read joins the EARLIEST
+     winning seed (the reference's first-claim rule).
+  3. Absorbed reads leave the pool; repeat until empty.
+
+Decisions per pair are identical to cluster.cpp:12-65: MXU bitvector gate
+(cluster.cpp:13-19 as a bf16 matmul), sort-merge common-k-mer join
+(kmer.cpp:45-67), patience LIS + anchor filter (similarity.cpp:4-97), and
+the variance gate (utils.cpp:26-55).  Per-pair work is routed count-first:
+a cheap join_counts pass measures each pair's match count, pairs whose
+k*count cannot reach the score threshold are rejected outright
+(bases <= k * matches), and the rest run the fused LIS kernel at the
+smallest M tier that fits — no speculative re-scoring up a ladder.
+
+The merge rounds (cluster.cpp:171-256) use the same machinery over cluster
+representatives with the B->b->0 threshold schedule; a device-resident score
+cache (outcomes are threshold-independent) spares re-gated pairs.
 
 Exactness escapes (host rescored in f64 like the reference): match-count
-overflow beyond the last M_LADDER cap, variance within VAR_BAND_REL of t_v.
+overflow beyond the last M tier, variance within VAR_BAND_REL of t_v.
 """
 
 from __future__ import annotations
 
 import functools
+import os
+import sys
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -41,40 +52,52 @@ from ..io.hpsio import Cluster, CSeq
 from ..ops import gates
 from ..ops.encode import encode_seq
 from ..ops.sketch_device import DeviceSketch, build_device_sketch
+from ..ops.join_device import (join_counts, merge_join_counts,
+                               merge_join_expand, sorted_join_expand)
 from ..ops.lis_select import (anchor_filter_select, lis_build_select,
                               lis_reconstruct_select)
-from ..ops.join_device import sorted_join_expand
 from ..ops.similarity import _variance
 from . import oracle
 
-# K classes by pair max-nk: table slice widths (0 = full kmax).  Narrower
-# classes sort less per pair; gate-passing pairs almost always have > 64
-# matches, so the M ladder starts at 512 (measured: 98% of gated toyset
-# pairs overflow a 64-match tier).
-K_CLASSES: Tuple[int, ...] = (1152, 2304, 0)
-M_LADDER: Tuple[int, ...] = (512, 4096)
-# chunk sizes: LADDER_CHUNKS[class_idx][tier_idx]
-LADDER_CHUNKS: Tuple[Tuple[int, int], ...] = ((4096, 256),
-                                              (2048, 128),
-                                              (512, 32))
-GATE_BUDGET = 1 << 19
-HOST_BUDGET = 1 << 13
+INT32_MAX = 2**31 - 1
+
+# K classes by pair max-nk: k-mer table slice widths (0 = full kmax,
+# padded to a power of two so the join runs as a bitonic MERGE — the
+# tables are pre-sorted, a log2(W)-stage merge beats a log^2 full sort)
+K_CLASSES: Tuple[int, ...] = (1024, 2048, 0)
+# M tiers: match-list capacities; pairs route to the smallest tier that
+# fits their exact match count (count-first), > last tier -> exact f64
+# native host scorer (rare: 100% of toyset gated pairs fit 2048)
+M_LADDER: Tuple[int, ...] = (128, 512, 2048)
+# static chunk shapes: COUNT_CHUNKS[cls], SCORE_CHUNKS[cls][tier]
+COUNT_CHUNKS: Tuple[int, ...] = (4096, 2048, 512)
+SCORE_CHUNKS: Tuple[Tuple[int, ...], ...] = ((4096, 2048, 512),
+                                             (2048, 1024, 256),
+                                             (512, 256, 64))
+PAIR_BUDGET = 1 << 18
 VAR_BAND_REL = 0.02
 
-_PROFILE = bool(__import__("os").environ.get("RATTLE_PROFILE"))
+_PROFILE = bool(os.environ.get("RATTLE_PROFILE"))
 
 
 def _prof(label: str, t_start, sync_on=None):
-    """Section timing (RATTLE_PROFILE=1): syncs via a scalar fetch (the only
-    reliable barrier on the axon runtime) and prints the elapsed time."""
+    """Section timing (RATTLE_PROFILE=1); syncs via a 1-element fetch (a
+    rank-0 fetch stalls minutes on the axon relay; rank-1 does not)."""
     if not _PROFILE:
         return
-    import sys as _sys
-    import time as _time
     if sync_on is not None:
-        float(np.asarray(sync_on.reshape(-1)[0].astype(jnp.float32)))
-    print(f"      [prof] {label}: {_time.time() - t_start:.3f}s",
-          file=_sys.stderr, flush=True)
+        np.asarray(jnp.ravel(sync_on)[:1])
+    print(f"      [prof] {label}: {time.time() - t_start:.3f}s",
+          file=sys.stderr, flush=True)
+
+
+def _fetch(x) -> np.ndarray:
+    """Device fetch that never transfers rank-0 (see _prof note)."""
+    return np.asarray(x)
+
+
+def _fetch_scalar(x) -> int:
+    return int(np.asarray(jnp.ravel(x)[:1])[0])
 
 
 def _pow2_at_least(n: int, lo: int) -> int:
@@ -89,82 +112,112 @@ def _pow2_at_least(n: int, lo: int) -> int:
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("budget",))
-def gate_compact(plane_rows, plane_cols, bvc_rows, bvc_cols, order_rows,
-                 order_cols, n_rows, n_cols, tab, cached_state, budget: int):
-    """Gate matmul + threshold + (order_row < order_col) mask + compaction.
+@functools.partial(jax.jit, static_argnames=("budget", "n_pad"),
+                   donate_argnums=(12,))
+def gate_block(plane_rows, bvc_rows, order_rows, n_rows, plane_cols,
+               bvc_cols, order_cols, n_cols, tab, cache_flat, row_ids,
+               col_ids, w, strand_val, budget: int, n_pad: int):
+    """Bitvector gate (cluster.cpp:13-19) + row-sorted pair compaction.
 
-    ``cached_state`` [r, c] uint8 (0 = unscored): pairs with a cached score
-    outcome are excluded from compaction (their decision is merged from the
-    cache).  Returns (pr, pc, n_gated) pair slot indices.
+    Returns (w', packed [budget] int32, total): packed holds
+    ((row * C + col) << 2) | cached_state for each gated pair; cached WINS
+    (state 2) are folded into ``w`` on device so the host only routes the
+    unscored remainder.  The row-sort compaction replaces a global
+    nonzero-sort over [A*C] (measured ~1.1 s at 8448^2) with A row sorts.
     """
-    r = plane_rows.shape[0]
+    a = plane_rows.shape[0]
     c = plane_cols.shape[0]
     common = jax.lax.dot_general(
         plane_rows.astype(jnp.bfloat16), plane_cols.astype(jnp.bfloat16),
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.int32)
     mmax = jnp.maximum(bvc_rows[:, None], bvc_cols[None, :])
-    passed = common >= tab[mmax]
-    passed &= order_rows[:, None] < order_cols[None, :]
-    ri = jax.lax.broadcasted_iota(jnp.int32, (r, c), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
-    passed &= (ri < n_rows) & (ci < n_cols)
-    gated_mask = passed
-    passed = passed & (cached_state == 0)
-    flat = passed.reshape(-1)
-    n_gated = flat.sum(dtype=jnp.int32)
-    idx = jnp.nonzero(flat, size=budget, fill_value=-1)[0].astype(jnp.int32)
-    valid = idx >= 0
-    pr = jnp.where(valid, jnp.clip(idx, 0) // c, -1)
-    pc = jnp.where(valid, jnp.clip(idx, 0) % c, -1)
-    return pr, pc, n_gated, gated_mask
+    ri = jax.lax.broadcasted_iota(jnp.int32, (a, c), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (a, c), 1)
+    passed = (common >= tab[mmax]) \
+        & (order_rows[:, None] < order_cols[None, :]) \
+        & (ri < n_rows) & (ci < n_cols)
+
+    keys = jnp.where(passed, ci, INT32_MAX)
+    keys = jax.lax.sort(keys, dimension=1)
+    rowcnt = passed.sum(axis=1, dtype=jnp.int32)
+    starts = jnp.cumsum(rowcnt) - rowcnt                       # exclusive
+    total = rowcnt.sum(dtype=jnp.int32)
+
+    # slot -> row: scatter each nonempty row's index at its start slot,
+    # then forward-propagate (starts are strictly increasing across
+    # nonempty rows, so cummax recovers the owning row everywhere)
+    mark = jnp.full((budget + 1,), -1, jnp.int32)
+    mark = mark.at[jnp.where(rowcnt > 0, jnp.minimum(starts, budget),
+                             budget)].max(jnp.arange(a, dtype=jnp.int32))
+    row = jax.lax.cummax(mark[:budget])
+    slots = jnp.arange(budget, dtype=jnp.int32)
+    valid = slots < jnp.minimum(total, budget)
+    rowc = jnp.clip(row, 0, a - 1)
+    within = slots - jnp.take(starts, rowc)
+    col = keys[rowc, jnp.clip(within, 0, c - 1)]
+    colc = jnp.clip(col, 0, c - 1)
+
+    ra = jnp.take(row_ids, rowc)
+    rb = jnp.take(col_ids, colc)
+    cval = jnp.take(cache_flat, ra * n_pad + rb).astype(jnp.int32)
+    cval = jnp.where(valid, cval, 0)
+    w = w.at[jnp.where(valid & (cval == 2), rowc, a + 1), colc].max(
+        strand_val, mode="drop")
+    packed = jnp.where(valid, ((rowc * c + colc) << 2) | cval, -1)
+    return w, packed, total
 
 
-@functools.partial(jax.jit, static_argnames=("bounds",))
-def classify_pairs(pr, pc, read_ids, nk, bounds: Tuple[int, ...]):
-    """Bucket the compacted pair list by pair max-nk into len(bounds)+1
-    K classes (bounds ascending; last class unbounded).
-
-    Returns a tuple of (idx [budget], count) per class; idx compacted to
-    the front (fill -1)."""
-    budget = pr.shape[0]
-    valid = pr >= 0
-    a_ids = jnp.take(read_ids, jnp.clip(pr, 0))
-    b_ids = jnp.take(read_ids, jnp.clip(pc, 0))
-    pair_nk = jnp.maximum(jnp.take(nk, a_ids), jnp.take(nk, b_ids))
-    out = []
-    lo = 0
-    for i, hi in enumerate(list(bounds) + [None]):
-        in_cls = valid & (pair_nk > lo)
-        if hi is not None:
-            in_cls &= pair_nk <= hi
-            lo = hi
-        idx = jnp.nonzero(in_cls, size=budget, fill_value=-1)[0] \
-            .astype(jnp.int32)
-        out.append((idx, in_cls.sum(dtype=jnp.int32)))
-    return tuple(out)
+@functools.partial(jax.jit, static_argnames=("use_merge",))
+def count_chunk(pairs_rc, row_ids, col_ids, hs_a, ps_a, hs_b, ps_b, nk,
+                use_merge: bool = True):
+    """Match counts for one [CH, 2] chunk of (row, col) block coords."""
+    act = pairs_rc[:, 0] >= 0
+    a_ids = jnp.take(row_ids, jnp.clip(pairs_rc[:, 0], 0))
+    b_ids = jnp.take(col_ids, jnp.clip(pairs_rc[:, 1], 0))
+    ha = jnp.take(hs_a, a_ids, axis=0)
+    hb = jnp.take(hs_b, b_ids, axis=0)
+    nka = jnp.take(nk, a_ids)
+    nkb = jnp.take(nk, b_ids)
+    if use_merge:
+        pa = jnp.take(ps_a, a_ids, axis=0)
+        pb = jnp.take(ps_b, b_ids, axis=0)
+        cnt = merge_join_counts(ha, pa, nka, hb, pb, nkb)
+    else:
+        cnt = join_counts(ha, nka, hb, nkb)
+    return jnp.where(act, cnt, 0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("m_cap", "kmer_size", "hc_max_dist",
-                                    "use_pallas"))
-def score_chunk(a_ids, b_ids, act, hs_a, ps_a, nk, hs_b, ps_b, lens, sc_tab,
-                t_v, var_band, m_cap: int, kmer_size: int, hc_max_dist: int,
+                                    "n_pad", "use_pallas"),
+                   donate_argnums=(13, 14))
+def score_chunk(pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b,
+                lens, sc_tab, t_v, var_band, strand_val, w, cache_flat,
+                m_cap: int, kmer_size: int, hc_max_dist: int, n_pad: int,
                 use_pallas: bool = False):
-    """Join+LIS decision for one fixed-shape chunk of pairs.
-
-    Both sides gather their SORTED k-mer tables (a = seed read, forward;
-    b = candidate, strand-selected); the sort-merge join needs no
-    position-order table.  Returns (win, needs_host) [B] bool."""
+    """Join + LIS decision for one fixed-shape chunk of (row, col) pairs
+    (similarity.cpp:4-97 + cluster.cpp:24-37).  Wins scatter into ``w``;
+    outcomes scatter into the cross-round score cache; returns
+    (w', cache', border [CH] bool) where border = f64-borderline variance
+    (host rescored, cluster.cpp exactness contract)."""
+    rows = pairs_rc[:, 0]
+    cols = pairs_rc[:, 1]
+    act = rows >= 0
+    a_ids = jnp.take(row_ids, jnp.clip(rows, 0))
+    b_ids = jnp.take(col_ids, jnp.clip(cols, 0))
     hsa = jnp.take(hs_a, a_ids, axis=0)
     psa = jnp.take(ps_a, a_ids, axis=0)
-    nk_a = jnp.take(nk, a_ids, axis=0)
-    hs = jnp.take(hs_b, b_ids, axis=0)
-    ps = jnp.take(ps_b, b_ids, axis=0)
-    nk_b = jnp.take(nk, b_ids, axis=0)
-    p1, p2, total = sorted_join_expand(hsa, psa, nk_a, hs, ps, nk_b, m_cap,
-                                       packed=kmer_size <= 15)
+    nk_a = jnp.take(nk, a_ids)
+    hsb = jnp.take(hs_b, b_ids, axis=0)
+    psb = jnp.take(ps_b, b_ids, axis=0)
+    nk_b = jnp.take(nk, b_ids)
+    if kmer_size <= 15:
+        p1, p2, total = merge_join_expand(hsa, psa, nk_a, hsb, psb, nk_b,
+                                          m_cap)
+    else:
+        p1, p2, total = sorted_join_expand(hsa, psa, nk_a, hsb, psb, nk_b,
+                                           m_cap, packed=False)
     mvalid = jax.lax.broadcasted_iota(jnp.int32, p1.shape, 1) < \
         jnp.minimum(total, m_cap)[:, None]
     if use_pallas:
@@ -183,59 +236,31 @@ def score_chunk(a_ids, b_ids, act, hs_a, ps_a, nk, hs_b, ps_b, lens, sc_tab,
     mn = jnp.minimum(jnp.take(lens, a_ids), jnp.take(lens, b_ids))
     score_ok = bases >= sc_tab[mn]
     borderline = jnp.abs(var - t_v) <= var_band
-    fits = total <= m_cap
+    fits = total <= m_cap  # count-first routing guarantees this; belt+braces
     win = score_ok & (var < t_v) & ~borderline & fits & act
-    needs_host = ((~fits) | (score_ok & borderline)) & act
-    return win, needs_host
+    border = (score_ok & borderline & fits) & act
+
+    decided = act & fits & ~border
+    w = w.at[jnp.where(win, rows, w.shape[0] + 1),
+             jnp.clip(cols, 0)].max(strand_val, mode="drop")
+    flat = jnp.where(decided, a_ids * n_pad + b_ids, n_pad * n_pad + 1)
+    cache_flat = cache_flat.at[flat].max(
+        jnp.where(win, jnp.uint8(2), jnp.uint8(1)), mode="drop")
+    return w, cache_flat, border
 
 
 @jax.jit
-def scatter_decisions(w, pr, pc, win, value):
-    """W[pr, pc] = max(W, value) where win (pads scatter out of bounds)."""
-    n = w.shape[0]
-    rr = jnp.where(win & (pr >= 0), pr, n + 1)
-    return w.at[rr, jnp.clip(pc, 0)].max(value, mode="drop")
-
-
-@jax.jit
-def merge_cached_wins(w, gated_mask, cached_state, value):
-    """Fold cached score-yes outcomes of gated pairs into the decision
-    matrix (cached score-no pairs simply stay 0)."""
-    hit = gated_mask & (cached_state == 2)
-    return jnp.maximum(w, jnp.where(hit, value, jnp.int8(0)))
-
-
-@jax.jit
-def gather_cache(cache, d_read_of):
-    """cache[read_of x read_of] submatrix."""
-    return jnp.take(jnp.take(cache, d_read_of, axis=0), d_read_of, axis=1)
-
-
-@jax.jit
-def cache_scatter(cache, ra, rb, decided, win):
-    """Record decided outcomes: cache[ra, rb] = 2 (win) / 1 (no)."""
-    val = jnp.where(win, jnp.uint8(2), jnp.uint8(1))
-    rr = jnp.where(decided & (ra >= 0), ra, cache.shape[0] + 1)
-    return cache.at[rr, jnp.clip(rb, 0)].max(val, mode="drop")
-
-
-@functools.partial(jax.jit, static_argnames=("budget",))
-def compact_flagged(pr, pc, flag, budget: int):
-    """Pair slots where flag is set, compacted to [budget] (fill -1)."""
-    sel = jnp.nonzero(flag & (pr >= 0), size=budget, fill_value=-1)[0]
-    v = sel >= 0
-    return (jnp.where(v, jnp.take(pr, jnp.clip(sel, 0)), -1),
-            jnp.where(v, jnp.take(pc, jnp.clip(sel, 0)), -1),
-            (flag & (pr >= 0)).sum(dtype=jnp.int32))
+def patch_wins(w, rows, cols, vals):
+    """Host-rescore patches: w[rows, cols] max= vals (drop row -1 pads)."""
+    return w.at[jnp.where(rows >= 0, rows, w.shape[0] + 1),
+                jnp.clip(cols, 0)].max(vals, mode="drop")
 
 
 @jax.jit
 def greedy_owner(w, n_valid):
-    """Exact replay of the reference's greedy absorption (cluster.cpp:124-166).
-
-    ``w`` [N, N]: 0 = no, 1 = reverse win, 2 = forward win (row = earlier id).
-    Returns (owner [N] int32, rev [N] bool): owner[j] = seed that absorbed j
-    (or j itself), rev[j] = strand flag of the winning decision.
+    """Exact replay of the reference's greedy absorption (cluster.cpp:124-166)
+    inside one block.  ``w`` [K, K]: 0 no, 1 reverse win, 2 forward win
+    (row = earlier position).  Returns packed [K] int32 = (owner << 1) | rev.
     """
     n = w.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -250,10 +275,24 @@ def greedy_owner(w, n_valid):
         rev = jnp.where(newly, row == 1, rev)
         return owner, rev
 
-    owner0 = iota
-    rev0 = jnp.zeros((n,), jnp.bool_)
-    owner, rev = jax.lax.fori_loop(0, n_valid, body, (owner0, rev0))
-    return owner, rev
+    owner, rev = jax.lax.fori_loop(
+        0, n_valid, body, (iota, jnp.zeros((n,), jnp.bool_)))
+    return (owner << 1) | rev.astype(jnp.int32)
+
+
+@jax.jit
+def absorb_rest(w):
+    """Sweep-phase absorption: each column joins the EARLIEST winning seed
+    row (first-claim, cluster.cpp:141-150).  w [S, C] int8.
+    Returns packed [C] int32 = (seed_row << 1) | rev, or -1."""
+    s, c = w.shape
+    has = w > 0
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (s, c), 0)
+    first = jnp.min(jnp.where(has, row_iota, s), axis=0)
+    won = first < s
+    val = jnp.take_along_axis(w, jnp.clip(first, 0, s - 1)[None, :],
+                              axis=0)[0]
+    return jnp.where(won, (first << 1) | (val == 1).astype(jnp.int32), -1)
 
 
 # --------------------------------------------------------------------------
@@ -280,34 +319,56 @@ class BulkClusterEngine:
             self.seqs, params.kmer_size, not params.is_rna)
         sk = self.sk
         self.n_pad = sk.hbp.shape[0]
-        # per-K-class table slices (narrower sorts for shorter reads)
-        self.class_bounds = []
+        self.k_block = min(4096, self.n_pad)
+        # per-K-class table slices (narrower merges for shorter reads);
+        # widths are powers of two for the bitonic merge join
+        full_w = _pow2_at_least(sk.kmax, 128)
+        widths = sorted({min(w, full_w) for w in K_CLASSES if w} | {full_w})
+        self.class_bounds = [w for w in widths[:-1]]
+        self.n_classes = len(widths)
         self._cls_tabs = []
-        for w in K_CLASSES:
-            wid = sk.kmax if w == 0 else min(w, sk.kmax)
-            tabs = {"hs": sk.hs[:, :wid], "ps": sk.ps[:, :wid]}
-            if not params.is_rna:
-                tabs["rev_hs"] = sk.rev_hs[:, :wid]
-                tabs["rev_ps"] = sk.rev_ps[:, :wid]
+        for wid in widths:
+            if wid <= sk.kmax:
+                tabs = {"hs": sk.hs[:, :wid], "ps": sk.ps[:, :wid]}
+                if not params.is_rna:
+                    tabs["rev_hs"] = sk.rev_hs[:, :wid]
+                    tabs["rev_ps"] = sk.rev_ps[:, :wid]
+            else:
+                # pad the full-width class to the pow2 (pads are beyond
+                # every read's nk, so their values are never consumed)
+                pad = ((0, 0), (0, wid - sk.kmax))
+                tabs = {"hs": jnp.pad(sk.hs, pad), "ps": jnp.pad(sk.ps, pad)}
+                if not params.is_rna:
+                    tabs["rev_hs"] = jnp.pad(sk.rev_hs, pad)
+                    tabs["rev_ps"] = jnp.pad(sk.rev_ps, pad)
             self._cls_tabs.append(tabs)
-            if w != 0 and wid < sk.kmax:
-                self.class_bounds.append(wid)
-        # drop duplicate classes when kmax is small
-        self.n_classes = len(self.class_bounds) + 1
-        self._cls_tabs = self._cls_tabs[: self.n_classes]
-        self.score_min = jnp.asarray(
-            gates.min_numerator_table(max(self.read_lens), params.t_s))
+        # M ladder clamped to the input scale: tiers above ~kmax would run
+        # giant scans for pairs the host scorer decides exactly in O(M log M)
+        top_m = _pow2_at_least(min(M_LADDER[-1], sk.kmax), M_LADDER[0])
+        self.m_ladder = tuple(m for m in M_LADDER if m <= top_m) or (top_m,)
+        # chunk shapes capped for small inputs (CPU tests pad to n_pad=256)
+        cap = max(256, 2 * self.n_pad)
+        self.count_chunks = tuple(min(c, cap) for c in COUNT_CHUNKS)
+        self.score_chunks = tuple(tuple(min(c, cap) for c in row)
+                                  for row in SCORE_CHUNKS)
+        score_min_host = gates.min_numerator_table(max(self.read_lens),
+                                                   params.t_s)
+        self.score_min_host = np.asarray(score_min_host)
+        self.score_min = jnp.asarray(score_min_host)
         self._bv_tables: Dict[float, jnp.ndarray] = {}
         self._oracle_kmers: Dict[int, oracle.ReadKmers] = {}
         self._host_cache: Dict[Tuple[int, int, bool], bool] = {}
         self.n_oracle_fallbacks = 0
         self.var_band = np.float32(VAR_BAND_REL * max(self.p.t_v, 1.0))
-        # cross-round score cache: outcomes are threshold-independent and
-        # directional (a = seed side); 0 unscored / 1 score-no / 2 score-yes
-        self._cache = {False: jnp.zeros((self.n_pad, self.n_pad), jnp.uint8)}
+        # cross-round score cache (outcomes are threshold-independent,
+        # directional: a = seed side); 0 unscored / 1 score-no / 2 score-yes
+        self._cache = {False: jnp.zeros((self.n_pad * self.n_pad,),
+                                        jnp.uint8)}
         if not params.is_rna:
-            self._cache[True] = jnp.zeros((self.n_pad, self.n_pad), jnp.uint8)
-        self._cache_live = False
+            self._cache[True] = jnp.zeros((self.n_pad * self.n_pad,),
+                                          jnp.uint8)
+        self.nk_host = sk.nk_host
+        self.lens_host = sk.lens_host
         from ..ops.pallas_kernels import supported as _pallas_ok
         self._pallas = _pallas_ok()
 
@@ -319,6 +380,12 @@ class BulkClusterEngine:
             tab = jnp.asarray(gates.min_numerator_table(4096, threshold))
             self._bv_tables[threshold] = tab
         return tab
+
+    def _class_tables(self, cls_i: int, rev: bool):
+        t = self._cls_tabs[cls_i]
+        return (t["hs"], t["ps"],
+                t["rev_hs"] if rev else t["hs"],
+                t["rev_ps"] if rev else t["ps"])
 
     def _okm(self, i: int) -> oracle.ReadKmers:
         km = self._oracle_kmers.get(i)
@@ -354,9 +421,7 @@ class BulkClusterEngine:
 
     def _host_rescore_batch(self, batch):
         """Exact f64 decisions for (rev, a, b, row, col) jobs, batched
-        through the native scorer on a subset sketch (falls back to the
-        scalar Python oracle without the library).
-
+        through the native scorer (falls back to the Python oracle).
         Yields (rev, a, b, row, col, win)."""
         todo = []
         for rev, a, b, r_, c_ in batch:
@@ -401,233 +466,247 @@ class BulkClusterEngine:
             elif key not in self._host_cache:
                 yield rev, a, b, r_, c_, self._host_decide(a, b, rev)
 
-    # ---------- bulk decision matrix ----------
+    # ---------- one batched decision block ----------
 
-    def _score_list(self, rows, cols, n_pairs: int, d_read_of, rev: bool,
-                    cls_i: int, m_cap: int, chunk: int):
-        """Score direct (row, col) position pairs (fill -1) at ``m_cap``;
-        returns (win, needs_host) [len] bool aligned with rows/cols."""
-        budget = rows.shape[0]
-        hs_a, ps_a, hs_b, ps_b = self._class_tables(cls_i, rev)
-        win = jnp.zeros((budget,), jnp.bool_)
-        host = jnp.zeros((budget,), jnp.bool_)
-        scored = jnp.zeros((budget,), jnp.bool_)
-        chunk = min(chunk, _pow2_at_least(max(n_pairs, 1), 64))
-        n_chunks = -(-max(n_pairs, 1) // chunk)
-        for c0 in range(n_chunks):
-            r_c = jax.lax.dynamic_slice(rows, (c0 * chunk,), (chunk,))
-            c_c = jax.lax.dynamic_slice(cols, (c0 * chunk,), (chunk,))
-            act = r_c >= 0
-            a_ids = jnp.take(d_read_of, jnp.clip(r_c, 0))
-            b_ids = jnp.take(d_read_of, jnp.clip(c_c, 0))
-            w_c, h_c = score_chunk(
-                a_ids, b_ids, act, hs_a, ps_a, self.sk.nk, hs_b, ps_b,
-                self.sk.lens, self.score_min, jnp.float32(self.p.t_v),
-                jnp.float32(self.var_band), m_cap, self.p.kmer_size,
-                self.p.hc_max_dist,
-                use_pallas=self._pallas and m_cap <= 512 and chunk % 128 == 0)
-            slot = c0 * chunk + jnp.arange(chunk)
-            w_idx = jnp.where(act, slot, budget + 1)
-            win = win.at[w_idx].set(w_c, mode="drop")
-            host = host.at[w_idx].set(h_c, mode="drop")
-            scored = scored.at[w_idx].set(True, mode="drop")
-        return win, host, scored
+    def _decide(self, row_ids: np.ndarray, col_ids: np.ndarray,
+                threshold: float, ordered: bool):
+        """Decision matrix w [K, Cpad] int8 (0 no, 1 rev, 2 fwd) for
+        row reads x col reads.
 
-    def _class_tables(self, cls_i: int, rev: bool):
-        t = self._cls_tabs[cls_i]
-        return (t["hs"], t["ps"],
-                t["rev_hs"] if rev else t["hs"],
-                t["rev_ps"] if rev else t["ps"])
-
-    def _score_class(self, pr, pc, cls_idx, n_cls: int, d_read_of,
-                     rev: bool, cls_i: int, m_cap: int, chunk: int):
-        """Score one K-class of the compacted pairs; returns device
-        (win [budget] bool, needs_host [budget] bool) aligned with pr/pc."""
-        budget = pr.shape[0]
-        hs_a, ps_a, hs_b, ps_b = self._class_tables(cls_i, rev)
-        win = jnp.zeros((budget,), jnp.bool_)
-        host = jnp.zeros((budget,), jnp.bool_)
-        scored = jnp.zeros((budget,), jnp.bool_)
-        chunk = min(chunk, _pow2_at_least(max(n_cls, 1), 256))
-        n_chunks = -(-max(n_cls, 1) // chunk)
-        for c0 in range(n_chunks):
-            sel = jax.lax.dynamic_slice(cls_idx, (c0 * chunk,), (chunk,))
-            act = sel >= 0
-            selc = jnp.clip(sel, 0)
-            a_ids = jnp.take(d_read_of, jnp.take(jnp.clip(pr, 0), selc))
-            b_ids = jnp.take(d_read_of, jnp.take(jnp.clip(pc, 0), selc))
-            w_c, h_c = score_chunk(
-                a_ids, b_ids, act, hs_a, ps_a, self.sk.nk, hs_b, ps_b,
-                self.sk.lens, self.score_min, jnp.float32(self.p.t_v),
-                jnp.float32(self.var_band), m_cap, self.p.kmer_size,
-                self.p.hc_max_dist,
-                use_pallas=self._pallas and m_cap <= 512 and chunk % 128 == 0)
-            w_idx = jnp.where(act, selc, budget + 1)  # inactive lanes drop
-            win = win.at[w_idx].set(w_c, mode="drop")
-            host = host.at[w_idx].set(h_c, mode="drop")
-            scored = scored.at[w_idx].set(True, mode="drop")
-        return win, host, scored
-
-    def _decide_matrix(self, read_of: np.ndarray, order_pad: int,
-                       threshold: float) -> jnp.ndarray:
-        """Full decision matrix W [order_pad, order_pad] int8 for entries in
-        greedy order (read_of maps order position -> read id)."""
-        m = len(read_of)
-        tab = self._bv_table(threshold)
-        d_read_of = jnp.asarray(
-            np.pad(read_of.astype(np.int32), (0, order_pad - m)))
-        d_order = jnp.arange(order_pad, dtype=jnp.int32)
+        ``ordered``: rows/cols are the same greedy-ordered list (block
+        phase) — only pairs with row position < col position are tested.
+        Otherwise every (row, col) pair is tested (sweep phase; rows are
+        seeds, all of which precede all cols in greedy order)."""
         sk = self.sk
+        a = len(row_ids)
+        c = len(col_ids)
+        k = self.k_block
+        c_pad = k if c <= k else self.n_pad
+        tab = self._bv_table(threshold)
 
-        # the no-gather shortcut is valid ONLY when read_of is literally the
-        # identity map — merge rounds pass rep ids and may still collide with
-        # n_pad on order_pad (e.g. 48-256 reads pad to the same 256)
-        identity = (order_pad == self.n_pad and m == self.n
-                    and bool(np.array_equal(read_of, np.arange(m))))
-        plane_rows = sk.plane if identity \
-            else jnp.take(sk.plane, d_read_of, axis=0)
-        bvc_rows = sk.bvc if identity else jnp.take(sk.bvc, d_read_of)
+        d_row_ids = jnp.asarray(np.pad(row_ids.astype(np.int32),
+                                       (0, k - a)))
+        d_col_ids = jnp.asarray(np.pad(col_ids.astype(np.int32),
+                                       (0, c_pad - c)))
+        plane_rows = jnp.take(sk.plane, d_row_ids, axis=0)
+        bvc_rows = jnp.take(sk.bvc, d_row_ids)
+        bvc_cols = jnp.take(sk.bvc, d_col_ids)
+        if ordered:
+            order_rows = jnp.arange(k, dtype=jnp.int32)
+            order_cols = jnp.arange(c_pad, dtype=jnp.int32)
+        else:
+            order_rows = jnp.zeros((k,), jnp.int32)
+            order_cols = jnp.ones((c_pad,), jnp.int32)
 
-        w = jnp.zeros((order_pad, order_pad), jnp.int8)
+        w = jnp.zeros((k, c_pad), jnp.int8)
         strands = [False] if self.p.is_rna else [False, True]
-        host_jobs = []
+        host_jobs: List[Tuple[bool, int, int, int, int]] = []
+        border_handles: List[Tuple[bool, object, np.ndarray]] = []
+        row_ids_h = row_ids.astype(np.int64)
+        col_ids_h = col_ids.astype(np.int64)
+
         for rev in strands:
+            t0 = time.time()
             if rev:
-                plane_cols = sk.rev_plane if identity \
-                    else jnp.take(sk.rev_plane, d_read_of, axis=0)
+                plane_cols = jnp.take(sk.rev_plane, d_col_ids, axis=0)
             else:
-                plane_cols = plane_rows
-            import time as _time
-            _t = _time.time()
-            cache = self._cache[rev]
-            if self._cache_live:
-                cached_sub = gather_cache(cache, d_read_of)
-            else:
-                cached_sub = jnp.zeros((order_pad, order_pad), jnp.uint8)
-            budget = min(GATE_BUDGET,
-                         _pow2_at_least(order_pad * order_pad, 1024))
+                plane_cols = jnp.take(sk.plane, d_col_ids, axis=0)
+            val = jnp.int8(1 if rev else 2)
+            budget = min(PAIR_BUDGET, _pow2_at_least(k * c_pad, 1024))
             while True:
-                pr, pc, n_gated, gated_mask = gate_compact(
-                    plane_rows, plane_cols, bvc_rows, bvc_rows, d_order,
-                    d_order, jnp.int32(m), jnp.int32(m), tab, cached_sub,
-                    budget)
-                ng = int(n_gated)
+                w, packed, total = gate_block(
+                    plane_rows, bvc_rows, order_rows, jnp.int32(a),
+                    plane_cols, bvc_cols, order_cols, jnp.int32(c), tab,
+                    self._cache[rev], d_row_ids, d_col_ids, w, val,
+                    budget, self.n_pad)
+                ng = _fetch_scalar(total)
                 if ng <= budget:
                     break
                 budget = _pow2_at_least(ng, budget * 2)
-            val0 = jnp.int8(1 if rev else 2)
-            if self._cache_live:
-                w = merge_cached_wins(w, gated_mask, cached_sub, val0)
-            _prof(f"gate m={m} ng={ng}", _t, pr)
-            _t = _time.time()
-            classes = classify_pairs(pr, pc, d_read_of, sk.nk,
-                                     tuple(self.class_bounds))
-            val = jnp.int8(1 if rev else 2)
-            _prof("classify", _t)
-            for cls_i in range(self.n_classes):
-                _t = _time.time()
-                cls_idx, n_cls = classes[cls_i]
-                n_cls = int(n_cls)
-                if n_cls == 0:
-                    continue
-                win, host, scored = self._score_class(
-                    pr, pc, cls_idx, n_cls, d_read_of, rev, cls_i,
-                    M_LADDER[0], LADDER_CHUNKS[cls_i][0])
-                w = scatter_decisions(w, pr, pc, win, val)
-                ra = jnp.take(d_read_of, jnp.clip(pr, 0))
-                rb = jnp.take(d_read_of, jnp.clip(pc, 0))
-                cache = cache_scatter(cache, jnp.where(pr >= 0, ra, -1), rb,
-                                      scored & ~host, win)
-
-                # escalate overflow/borderline pairs up the M ladder
-                cur_rows, cur_cols, flagged = pr, pc, host
-                exhausted = True
-                for t_i, m_cap in enumerate(M_LADDER[1:], start=1):
-                    hb = HOST_BUDGET
-                    while True:
-                        tr, tc, n_t = compact_flagged(cur_rows, cur_cols,
-                                                      flagged, hb)
-                        n_ti = int(n_t)
-                        if n_ti <= hb:
-                            break
-                        hb = _pow2_at_least(n_ti, hb * 2)
-                    if n_ti == 0:
-                        exhausted = False
-                        break
-                    win_t, host_t, scored_t = self._score_list(
-                        tr, tc, n_ti, d_read_of, rev, cls_i, m_cap,
-                        LADDER_CHUNKS[cls_i][t_i])
-                    w = scatter_decisions(w, tr, tc, win_t, val)
-                    ra_t = jnp.take(d_read_of, jnp.clip(tr, 0))
-                    rb_t = jnp.take(d_read_of, jnp.clip(tc, 0))
-                    cache = cache_scatter(cache,
-                                          jnp.where(tr >= 0, ra_t, -1), rb_t,
-                                          scored_t & ~host_t, win_t)
-                    cur_rows, cur_cols, flagged = tr, tc, host_t
-                if exhausted:
-                    host_jobs.append((rev, cur_rows, cur_cols, flagged))
-                _prof(f"class{cls_i} n={n_cls}", _t, w)
-            self._cache[rev] = cache
-
-        # exact host rescoring of the still-flagged pairs (f64, batched
-        # through the native scorer like the reference's math)
-        patches: List[Tuple[int, int, int]] = []
-        batch: List[Tuple[bool, int, int, int, int]] = []
-        for rev, pr, pc, host in host_jobs:
-            hb = HOST_BUDGET
-            while True:
-                hr, hc_, n_h = compact_flagged(pr, pc, host, hb)
-                n_hi = int(n_h)
-                if n_hi <= hb:
-                    break
-                hb = _pow2_at_least(n_hi, hb * 2)
-            if n_hi == 0:
+            _prof(f"gate a={a} c={c} thr={threshold} ng={ng}", t0)
+            if ng == 0:
                 continue
-            hr = np.asarray(hr)[:n_hi]
-            hc_ = np.asarray(hc_)[:n_hi]
-            for r_, c_ in zip(hr, hc_):
-                batch.append((rev, int(read_of[r_]), int(read_of[c_]),
-                              int(r_), int(c_)))
-        _t = __import__("time").time()
-        _prof("cacheflush", _t, self._cache[strands[-1]])
-        _t = __import__("time").time()
-        cache_upd: Dict[bool, List[Tuple[int, int, bool]]] = {}
-        for rev, a, b, r_, c_, ok in self._host_rescore_batch(batch):
-            cache_upd.setdefault(rev, []).append((a, b, ok))
-            if ok:
-                patches.append((r_, c_, 1 if rev else 2))
-        for rev, upd in cache_upd.items():
-            arr = np.array([(a, b) for a, b, _ok in upd], dtype=np.int32)
-            oks = np.array([ok for _a, _b, ok in upd], dtype=bool)
-            self._cache[rev] = cache_scatter(
-                self._cache[rev], jnp.asarray(arr[:, 0]),
-                jnp.asarray(arr[:, 1]), jnp.ones(len(arr), bool),
-                jnp.asarray(oks))
-        if patches:
-            arr = np.array(patches, dtype=np.int32)
-            w = scatter_decisions(w, jnp.asarray(arr[:, 0]),
-                                  jnp.asarray(arr[:, 1]),
-                                  jnp.ones((len(arr),), jnp.bool_),
-                                  jnp.asarray(arr[:, 2], jnp.int8))
-        _prof("hostpatch", _t, w)
-        self._cache_live = True
+
+            # fetch the gated pair list (+ cached states) in one transfer
+            # (bucketed slice size: a per-ng shape would recompile every round)
+            t0 = time.time()
+            ng_pad = min(budget, _pow2_at_least(ng, 1024))
+            pk = _fetch(jax.lax.slice(packed, (0,), (ng_pad,)))[:ng]
+            cval = pk & 3
+            rc = pk >> 2
+            rows = (rc // c_pad).astype(np.int32)
+            cols = (rc % c_pad).astype(np.int32)
+            fresh = cval == 0
+            rows_f, cols_f = rows[fresh], cols[fresh]
+            _prof(f"pairs fetch n={ng} fresh={len(rows_f)}", t0)
+            if len(rows_f) == 0:
+                continue
+
+            # ---- count pass (exact match counts, class-split widths) ----
+            t0 = time.time()
+            ra = row_ids_h[rows_f]
+            rb = col_ids_h[cols_f]
+            pair_nk = np.maximum(self.nk_host[ra], self.nk_host[rb])
+            bounds = list(self.class_bounds) + [1 << 30]
+            cls_of = np.searchsorted(np.asarray(bounds), pair_nk,
+                                     side="left")
+            counts = np.zeros(len(rows_f), np.int32)
+            for cls_i in range(self.n_classes):
+                sel = np.nonzero(cls_of == cls_i)[0]
+                if len(sel) == 0:
+                    continue
+                ch = self.count_chunks[cls_i]
+                n_sel = len(sel)
+                n_chunks = -(-n_sel // ch)
+                arr = np.full((n_chunks * ch, 2), -1, np.int32)
+                arr[:n_sel, 0] = rows_f[sel]
+                arr[:n_sel, 1] = cols_f[sel]
+                d_arr = jnp.asarray(arr)
+                hs_a, ps_a, hs_b, ps_b = self._class_tables(cls_i, rev)
+                outs = []
+                for ci in range(n_chunks):
+                    outs.append(count_chunk(
+                        jax.lax.dynamic_slice(d_arr, (ci * ch, 0), (ch, 2)),
+                        d_row_ids, d_col_ids, hs_a, ps_a, hs_b, ps_b, sk.nk,
+                        use_merge=self.p.kmer_size <= 15))
+                got = _fetch(jnp.concatenate(outs))[:n_sel] if len(outs) > 1 \
+                    else _fetch(outs[0])[:n_sel]
+                counts[sel] = got
+            _prof(f"counts n={len(rows_f)}", t0)
+
+            # ---- route: cheap reject, M tiers, host overflow ----
+            mn = np.minimum(self.lens_host[ra], self.lens_host[rb])
+            min_num = self.score_min_host[mn]
+            # bases <= k * llis <= k * matches: definite lose, no LIS needed
+            alive = self.p.kmer_size * counts.astype(np.int64) >= min_num
+            overflow = counts > self.m_ladder[-1]
+            for i in np.nonzero(alive & overflow)[0]:
+                host_jobs.append((rev, int(ra[i]), int(rb[i]),
+                                  int(rows_f[i]), int(cols_f[i])))
+            tier_of = np.searchsorted(np.asarray(self.m_ladder), counts,
+                                      side="left")
+
+            # ---- score pass: one h2d of all routed pairs, static chunks --
+            t0 = time.time()
+            plan = []  # (cls, tier, offset, n, n_chunks, ch)
+            routed_rows: List[np.ndarray] = []
+            routed_cols: List[np.ndarray] = []
+            offset = 0
+            for cls_i in range(self.n_classes):
+                for tier_i, m_cap in enumerate(self.m_ladder):
+                    sel = np.nonzero((cls_of == cls_i) & (tier_of == tier_i)
+                                     & alive & ~overflow)[0]
+                    if len(sel) == 0:
+                        continue
+                    ch = self.score_chunks[cls_i][tier_i]
+                    n_sel = len(sel)
+                    n_chunks = -(-n_sel // ch)
+                    pad = n_chunks * ch
+                    rr = np.full(pad, -1, np.int32)
+                    cc = np.zeros(pad, np.int32)
+                    rr[:n_sel] = rows_f[sel]
+                    cc[:n_sel] = cols_f[sel]
+                    routed_rows.append(rr)
+                    routed_cols.append(cc)
+                    plan.append((cls_i, tier_i, offset, n_sel, n_chunks, ch,
+                                 sel))
+                    offset += pad
+            if plan:
+                all_pairs = np.stack([np.concatenate(routed_rows),
+                                      np.concatenate(routed_cols)], axis=1)
+                d_pairs = jnp.asarray(all_pairs)
+                cache = self._cache[rev]
+                for cls_i, tier_i, off, n_sel, n_chunks, ch, sel in plan:
+                    hs_a, ps_a, hs_b, ps_b = self._class_tables(cls_i, rev)
+                    m_cap = self.m_ladder[tier_i]
+                    for ci in range(n_chunks):
+                        chunk = jax.lax.dynamic_slice(
+                            d_pairs, (off + ci * ch, 0), (ch, 2))
+                        w, cache, border = score_chunk(
+                            chunk, d_row_ids, d_col_ids, hs_a, ps_a, sk.nk,
+                            hs_b, ps_b, sk.lens, self.score_min,
+                            jnp.float32(self.p.t_v),
+                            jnp.float32(self.var_band), val, w, cache,
+                            m_cap, self.p.kmer_size, self.p.hc_max_dist,
+                            self.n_pad,
+                            use_pallas=self._pallas and m_cap <= 2048)
+                        border_handles.append(
+                            (rev, border,
+                             all_pairs[off + ci * ch: off + (ci + 1) * ch]))
+                self._cache[rev] = cache
+            _prof(f"score n={int((alive & ~overflow).sum())}", t0, w)
+
+        # ---- borderline-variance pairs: exact f64 host rescore ----
+        if border_handles:
+            t0 = time.time()
+            flat = _fetch(jnp.concatenate(
+                [b for _rev, b, _pc in border_handles])) \
+                if len(border_handles) > 1 \
+                else _fetch(border_handles[0][1])
+            off = 0
+            for rev, b, pc in border_handles:
+                nb_ = len(pc)
+                for i in np.nonzero(flat[off:off + nb_])[0]:
+                    r_, c_ = int(pc[i, 0]), int(pc[i, 1])
+                    if r_ < 0:
+                        continue
+                    host_jobs.append((rev, int(row_ids[r_]),
+                                      int(col_ids[c_]), r_, c_))
+                off += nb_
+            _prof(f"border flags ({len(host_jobs)} host jobs)", t0)
+        if host_jobs:
+            t0 = time.time()
+            patches = []
+            for rev, aa, bb, r_, c_, ok in self._host_rescore_batch(
+                    host_jobs):
+                if ok:
+                    patches.append((r_, c_, 1 if rev else 2))
+            if patches:
+                arr = np.asarray(patches, np.int32)
+                w = patch_wins(w, jnp.asarray(arr[:, 0]),
+                               jnp.asarray(arr[:, 1]),
+                               jnp.asarray(arr[:, 2]).astype(jnp.int8))
+            _prof(f"host rescore n={len(host_jobs)}", t0)
         return w
 
-    def _greedy_groups(self, read_of: np.ndarray, threshold: float):
-        """Decision matrix + on-device replay; returns the group list
-        [(seed_pos, [(member_pos, rev), ...])] in seed order."""
-        m = len(read_of)
-        order_pad = _pow2_at_least(m, 256) if m != self.n_pad else self.n_pad
-        if m == self.n:
-            order_pad = self.n_pad
-        w = self._decide_matrix(read_of, order_pad, threshold)
-        owner, rev = greedy_owner(w, jnp.int32(m))
-        owner = np.asarray(owner)[:m]
-        rev = np.asarray(rev)[:m]
+    # ---------- frontier greedy ----------
+
+    def _greedy_pass(self, ids: np.ndarray, threshold: float):
+        """Frontier-exact greedy absorption over ``ids`` (greedy order).
+        Returns [(seed_pos, [(member_pos, rev), ...])] in seed order."""
+        m = len(ids)
+        owner = np.arange(m)
+        revf = np.zeros(m, bool)
+        pool = np.arange(m)
+        k = self.k_block
+        while len(pool):
+            blk = pool[:k]
+            nb = len(blk)
+            w1 = self._decide(ids[blk], ids[blk], threshold, ordered=True)
+            t0 = time.time()
+            packed = _fetch(greedy_owner(w1, jnp.int32(nb)))[:nb]
+            _prof(f"replay block n={nb}", t0)
+            o = packed >> 1
+            owner[blk] = blk[o]
+            revf[blk] = (packed & 1).astype(bool)
+            seeds = blk[o == np.arange(nb)]
+            rest = pool[k:]
+            if len(rest) == 0:
+                break
+            # all true seeds of this block sweep the remaining pool
+            w2 = self._decide(ids[seeds], ids[rest], threshold,
+                              ordered=False)
+            t0 = time.time()
+            pk = _fetch(absorb_rest(w2))[:len(rest)]
+            _prof(f"absorb rest n={len(rest)}", t0)
+            won = pk >= 0
+            owner[rest[won]] = seeds[(pk[won] >> 1)]
+            revf[rest[won]] = (pk[won] & 1).astype(bool)
+            pool = rest[~won]
         groups: Dict[int, List[Tuple[int, bool]]] = {}
         for pos in range(m):
-            o = int(owner[pos])
-            groups.setdefault(o, []).append((pos, bool(rev[pos])))
+            groups.setdefault(int(owner[pos]), []).append(
+                (pos, bool(revf[pos])))
         return [(seed, groups[seed]) for seed in sorted(groups)]
 
     # ---------- public API ----------
@@ -636,7 +715,7 @@ class BulkClusterEngine:
         p = self.p
         order = np.arange(self.n)
 
-        groups = self._greedy_groups(order, p.bv_threshold)
+        groups = self._greedy_pass(order, p.bv_threshold)
         clusters: List[Cluster] = []
         for _seed, members in groups:
             cseqs = [CSeq(m_, r_) for m_, r_ in members]
@@ -646,9 +725,9 @@ class BulkClusterEngine:
 
         for threshold in bv_threshold_schedule(p):
             reps = np.array([c.main_seq.seq_id for c in clusters])
-            merge_groups = self._greedy_groups(reps, threshold)
+            merge_groups = self._greedy_pass(reps, threshold)
             tmp: List[Cluster] = []
-            for seed_cid, members in merge_groups:
+            for _seed_cid, members in merge_groups:
                 merged = Cluster(CSeq(-1, False), [])
                 for cid, rev in members:
                     for s in clusters[cid].seqs:

@@ -115,6 +115,128 @@ def sorted_join_expand(hs_a, ps_a, nk_a, hs_b, ps_b, nk_b, m_cap: int,
     return p1s, p2s, total
 
 
+def _bitonic_merge_2(key, val):
+    """Sort a bitonic [B, W] key row (W power of two) with co-moved val.
+
+    One bitonic MERGE network — log2(W) compare-exchange stages — instead of
+    a full sort's log^2 passes; valid because the input is ascending in the
+    first half and descending in the second (two pre-sorted operands)."""
+    b, w = key.shape
+    assert w & (w - 1) == 0, "bitonic merge needs power-of-two width"
+    s = w // 2
+    while s >= 1:
+        k2 = key.reshape(b, w // (2 * s), 2, s)
+        v2 = val.reshape(b, w // (2 * s), 2, s)
+        klo, khi = k2[:, :, 0, :], k2[:, :, 1, :]
+        vlo, vhi = v2[:, :, 0, :], v2[:, :, 1, :]
+        swap = klo > khi
+        key = jnp.stack([jnp.where(swap, khi, klo),
+                         jnp.where(swap, klo, khi)], axis=2).reshape(b, w)
+        val = jnp.stack([jnp.where(swap, vhi, vlo),
+                         jnp.where(swap, vlo, vhi)], axis=2).reshape(b, w)
+        s //= 2
+    return key, val
+
+
+def _merge_tables(hs_a, ps_a, nk_a, hs_b, ps_b, nk_b):
+    """Merge two hash-sorted k-mer tables of EQUAL power-of-two width into
+    one hash-sorted stream tagged by side.  Requires hashes < 2^31 (k <= 15)
+    for the packed (hash << 1 | side) key.  Returns (h, side, pos, valid)."""
+    b, wa = hs_a.shape
+    wb = hs_b.shape[1]
+    cols_a = jax.lax.broadcasted_iota(jnp.int32, (b, wa), 1)
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, (b, wb), 1)
+    va = cols_a < nk_a[:, None]
+    vb = cols_b < nk_b[:, None]
+    ka = jnp.minimum(jnp.where(va, hs_a, PAD_HASH),
+                     jnp.uint32(0x7FFFFFFE)) << 1
+    kb = (jnp.minimum(jnp.where(vb, hs_b, PAD_HASH),
+                      jnp.uint32(0x7FFFFFFE)) << 1) | jnp.uint32(1)
+    key = jnp.concatenate([ka, kb[:, ::-1]], axis=1)
+    pos = jnp.concatenate([jnp.where(va, ps_a, -1),
+                           jnp.where(vb, ps_b, -1)[:, ::-1]], axis=1)
+    key, pos = _bitonic_merge_2(key, pos)
+    return key >> 1, (key & 1).astype(jnp.int32), pos, pos >= 0
+
+
+def _segment_counts(h, side, valid):
+    """Per-b-element a-run sizes over the merged stream (shared by count
+    and expand paths)."""
+    b = h.shape[0]
+    is_a = (side == 0) & valid
+    is_b = (side == 1) & valid
+    boundary = jnp.concatenate(
+        [jnp.ones((b, 1), bool), h[:, 1:] != h[:, :-1]], axis=1)
+    boundary_next = jnp.concatenate(
+        [h[:, 1:] != h[:, :-1], jnp.ones((b, 1), bool)], axis=1)
+    a_incl = jnp.cumsum(is_a, axis=1, dtype=jnp.int32)
+    a_excl = a_incl - is_a
+    a_start = jax.lax.cummax(jnp.where(boundary, a_excl, -1), axis=1)
+    a_end = jax.lax.cummin(jnp.where(boundary_next, a_incl, INT32_MAX),
+                           axis=1, reverse=True)
+    cnt_b = jnp.where(is_b, a_end - a_start, 0)
+    return is_a, a_excl, a_start, cnt_b
+
+
+def merge_join_counts(hs_a, ps_a, nk_a, hs_b, ps_b, nk_b):
+    """join_counts via the bitonic merge (k <= 15, equal pow2 widths)."""
+    h, side, pos, valid = _merge_tables(hs_a, ps_a, nk_a, hs_b, ps_b, nk_b)
+    _ia, _ae, _as, cnt_b = _segment_counts(h, side, valid)
+    return jnp.sum(cnt_b, axis=1, dtype=jnp.int32)
+
+
+def merge_join_expand(hs_a, ps_a, nk_a, hs_b, ps_b, nk_b, m_cap: int):
+    """sorted_join_expand via the bitonic merge + scatter/cummax slot
+    expansion (O(B*(W log W + M)) instead of O(B*(W log^2 W + M*W))).
+
+    Contract identical to sorted_join_expand for pairs that FIT m_cap:
+    matches compacted to the front in (pos1, pos2) order, p2 padded with
+    INT32_MAX -> zeroed p1, TRUE total returned.  On overflow (total >
+    m_cap) the kept subset is a valid but tie-order-dependent selection
+    (the bitonic network reorders equal-hash runs) — callers must treat
+    overflow as undecided, which the count-first routing in cluster/bulk
+    guarantees (overflow pairs go to the exact host scorer)."""
+    b, wa = hs_a.shape
+    h, side, pos, valid = _merge_tables(hs_a, ps_a, nk_a, hs_b, ps_b, nk_b)
+    is_a, a_excl, a_start, cnt_b = _segment_counts(h, side, valid)
+    w = h.shape[1]
+
+    offs = jnp.cumsum(cnt_b, axis=1, dtype=jnp.int32)
+    starts = offs - cnt_b
+    total = offs[:, -1]
+
+    # slot -> source b element: scatter each contributing b element's merged
+    # index at its start slot, forward-propagate with cummax (starts are
+    # strictly increasing across contributing b elements)
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    tgt = jnp.where((cnt_b > 0), jnp.minimum(starts, m_cap), m_cap)
+    bmark = jnp.full((b, m_cap + 1), -1, jnp.int32)
+    bmark = bmark.at[jax.lax.broadcasted_iota(jnp.int32, (b, w), 0),
+                     tgt].max(rows_w)
+    t = jax.lax.cummax(bmark[:, :m_cap], axis=1)              # [B, M]
+    tc = jnp.clip(t, 0, w - 1)
+
+    # compact a-side positions to rank space: apos[rank] = pos of the a
+    # element with a_excl == rank (scatter by rank; ranks are unique)
+    a_rank = jnp.where(is_a, a_excl, m_cap + wa)
+    apos = jnp.zeros((b, m_cap + wa + 1), jnp.int32)
+    apos = apos.at[jax.lax.broadcasted_iota(jnp.int32, (b, w), 0),
+                   a_rank].set(pos)
+
+    slots = jnp.arange(m_cap, dtype=jnp.int32)[None, :]
+    within = slots - jnp.take_along_axis(starts, tc, axis=1)
+    rank = jnp.take_along_axis(a_start, tc, axis=1) + within
+    p2 = jnp.take_along_axis(pos, tc, axis=1)
+    p1 = jnp.take_along_axis(apos, jnp.clip(rank, 0, m_cap + wa), axis=1)
+
+    valid_slot = slots < jnp.minimum(total, m_cap)[:, None]
+    p1s = jnp.where(valid_slot, p1, INT32_MAX)
+    p2s = jnp.where(valid_slot, p2, INT32_MAX)
+    p1s, p2s = jax.lax.sort((p1s, p2s), dimension=1, num_keys=2)
+    p1s = jnp.where(p1s == INT32_MAX, 0, p1s)
+    return p1s, p2s, total
+
+
 def join_counts(hs_a, nk_a, hs_b, nk_b):
     """Total match count per pair, without expansion (cheap pass)."""
     b, wa = hs_a.shape

@@ -115,6 +115,13 @@ BIG_I32 = 2**31 - 1
 LIS_TB = 512
 
 
+def _pow2_floor(x: int) -> int:
+    p = 1
+    while p * 2 <= x:
+        p *= 2
+    return p
+
+
 def _lis_kernel_body(m: int, tb: int, kmer_size: int, hc_max_dist: int):
     def kernel(p1_ref, p2_ref, valid_ref, bases_ref, hc_ref, ndist_ref,
                var_ref, tails, m_idx, p_pred, a1b, a2b, distb):
@@ -222,10 +229,13 @@ def lis_filter_pallas(p1, p2, valid, kmer_size: int, hc_max_dist: int = 10,
                       interpret: bool = False):
     """Fused LIS + filter + variance for [B, M] match lists.
 
-    B must be a multiple of LIS_TB.  Returns (bases, hc, n_dist, var) [B].
+    B must be a multiple of the lane tile.  Returns (bases, hc, n_dist, var)
+    [B].  The lane tile shrinks with M so the six [M, TB] scratch arrays
+    stay within VMEM (~8 MB budget): TB=512 up to M=512, 128 at M=2048.
     """
     b, m = p1.shape
-    tb = min(LIS_TB, b)
+    vmem_tb = max(8, (8 << 20) // (24 * (m + 1)))
+    tb = min(LIS_TB, b, _pow2_floor(vmem_tb))
     while b % tb:
         tb //= 2
     p1t = p1.T

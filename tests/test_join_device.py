@@ -85,3 +85,34 @@ def test_join_mixed_widths():
                                       np.asarray(got_p1)[i, :tot[i]])
         np.testing.assert_array_equal(np.asarray(ref_p2)[i, :tot[i]],
                                       np.asarray(got_p2)[i, :tot[i]])
+
+
+def test_merge_join_matches_sort_join(rng):
+    """Bitonic merge join == full-sort join on random sorted tables."""
+    import jax.numpy as jnp
+    from rattle_tpu.ops.join_device import (merge_join_counts,
+                                            merge_join_expand,
+                                            sorted_join_expand)
+    B, W = 16, 256
+    for m_cap in (32, 128):
+        hs_a = np.sort(rng.integers(0, 500, (B, W)).astype(np.uint32), axis=1)
+        hs_b = np.sort(rng.integers(0, 500, (B, W)).astype(np.uint32), axis=1)
+        ps_a = rng.integers(0, 3000, (B, W)).astype(np.int32)
+        ps_b = rng.integers(0, 3000, (B, W)).astype(np.int32)
+        nk_a = rng.integers(1, W + 1, (B,)).astype(np.int32)
+        nk_b = rng.integers(1, W + 1, (B,)).astype(np.int32)
+        args = (jnp.asarray(hs_a), jnp.asarray(ps_a), jnp.asarray(nk_a),
+                jnp.asarray(hs_b), jnp.asarray(ps_b), jnp.asarray(nk_b))
+        p1m, p2m, tm = merge_join_expand(*args, m_cap)
+        p1s, p2s, ts = sorted_join_expand(*args, m_cap, packed=True)
+        np.testing.assert_array_equal(np.asarray(tm), np.asarray(ts))
+        # exact pair equality is only contractual when the pair FITS m_cap
+        # (overflow rows are undecided: count-first routing sends them to
+        # the host scorer); see merge_join_expand docstring
+        fits = np.asarray(ts) <= m_cap
+        np.testing.assert_array_equal(np.asarray(p1m)[fits],
+                                      np.asarray(p1s)[fits])
+        np.testing.assert_array_equal(np.asarray(p2m)[fits],
+                                      np.asarray(p2s)[fits])
+        cm = merge_join_counts(*args)
+        np.testing.assert_array_equal(np.asarray(cm), np.asarray(ts))
