@@ -27,6 +27,29 @@ def _engine(args):
     return cluster_reads_bulk
 
 
+def _accelerator_present() -> bool:
+    try:
+        import jax
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _pack_runner(backend: str):
+    """Resolve the correct/polish POA executor.
+
+    auto: device-batched runner when a TPU is attached (the reference's #1
+    hot loop, correct.cpp:377-478, belongs on the accelerator), host POA
+    otherwise.  ``host`` forces the oracle path, ``tpu`` forces the device
+    path (errors without a device)."""
+    if backend == "host":
+        return None
+    if backend == "tpu" or (backend == "auto" and _accelerator_present()):
+        from ..correct.tpu_runner import tpu_pack_runner
+        return tpu_pack_runner
+    return None
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     top = argparse.ArgumentParser(prog="rattle-tpu")
@@ -66,6 +89,10 @@ def main(argv=None):
     pco.add_argument("-r", "--min-reads", type=int, default=5)
     pco.add_argument("-t", "--threads", type=int, default=1)
     pco.add_argument("--verbose", action="store_true")
+    pco.add_argument("--poa-backend", choices=("auto", "tpu", "host"),
+                     default="auto",
+                     help="POA executor: auto = device-batched when a TPU "
+                     "is attached, host = NumPy/native oracle")
     pco.add_argument("--checkpoint-dir", default=None,
                      help="pack-granular resume manifest dir (new capability; "
                      "the reference restarts the whole stage on a crash)")
@@ -89,6 +116,10 @@ def main(argv=None):
     pp.add_argument("--rna", action="store_true")
     pp.add_argument("--verbose", action="store_true")
     pp.add_argument("--summary", action="store_true")
+    pp.add_argument("--poa-backend", choices=("auto", "tpu", "host"),
+                    default="auto")
+    pp.add_argument("--oracle", action="store_true",
+                    help="use the NumPy oracle cluster engine")
 
     args = top.parse_args(argv)
     mode = args.mode
@@ -132,6 +163,7 @@ def main(argv=None):
         cp = CorrectParams(min_occ=args.min_occ, gap_occ=args.gap_occ,
                            split=args.split, min_reads=args.min_reads)
         res = correct_reads(clusters, reads, cp, labels=labels,
+                            pack_runner=_pack_runner(args.poa_backend),
                             checkpoint_dir=args.checkpoint_dir)
         fastx.write_fastq(res.corrected, os.path.join(args.output, "corrected.fq"))
         fastx.write_fastq(res.uncorrected, os.path.join(args.output, "uncorrected.fq"))
@@ -164,7 +196,9 @@ def main(argv=None):
     if mode == "polish":
         from ..correct.polish import polish as run_polish
         reads = fastx.read_fastq_plain(args.input)
-        consensi, summary_rows = run_polish(reads, args.rna, labels)
+        consensi, summary_rows = run_polish(
+            reads, args.rna, labels, cluster_engine=_engine(args),
+            pack_runner=_pack_runner(args.poa_backend))
         if args.summary:
             fastx.write_polish_summary(
                 summary_rows, os.path.join(args.output, "polish_summary.tsv"))

@@ -77,3 +77,32 @@ def test_iso_mode(synth_fastq, tmp_path):
     rows = cluster_summary_rows(reads, clusters)
     assert len(rows) == 30
     assert all(",gene_cluster_" in r and ",transcript_cluster_" in r for r in rows)
+
+
+def test_correct_device_backend(synth_fastq, tmp_path):
+    """--poa-backend tpu forces the device-batched pack runner (here on the
+    CPU mesh); consensus content must match the host POA path exactly."""
+    out_h = str(tmp_path / "host")
+    out_d = str(tmp_path / "dev")
+    os.makedirs(out_h)
+    os.makedirs(out_d)
+    rc = cli.main(["cluster", "-i", synth_fastq, "-o", out_h, "--rna",
+                   "--raw", "--oracle"])
+    assert rc == 0
+    import shutil
+    shutil.copy(os.path.join(out_h, "clusters.out"),
+                os.path.join(out_d, "clusters.out"))
+    rc = cli.main(["correct", "-i", synth_fastq, "-c",
+                   os.path.join(out_h, "clusters.out"), "-o", out_h,
+                   "--poa-backend", "host"])
+    assert rc == 0
+    rc = cli.main(["correct", "-i", synth_fastq, "-c",
+                   os.path.join(out_d, "clusters.out"), "-o", out_d,
+                   "--poa-backend", "tpu"])
+    assert rc == 0
+    for name in ("consensi.fq", "corrected.fq", "uncorrected.fq"):
+        h = {(r.header, r.seq) for r in
+             fastx.read_fastq_plain(os.path.join(out_h, name))}
+        d = {(r.header, r.seq) for r in
+             fastx.read_fastq_plain(os.path.join(out_d, name))}
+        assert h == d, name
