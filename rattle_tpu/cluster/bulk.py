@@ -369,6 +369,9 @@ class BulkClusterEngine:
                                           jnp.uint8)
         self.nk_host = sk.nk_host
         self.lens_host = sk.lens_host
+        # coarse wall-clock per phase, filled by cluster(); each
+        # _greedy_pass ends host-synced so no extra fetches are needed
+        self.phase_times: Dict[str, float] = {}
         from ..ops.pallas_kernels import supported as _pallas_ok
         self._pallas = _pallas_ok()
 
@@ -715,7 +718,9 @@ class BulkClusterEngine:
         p = self.p
         order = np.arange(self.n)
 
+        t0 = time.time()
         groups = self._greedy_pass(order, p.bv_threshold)
+        self.phase_times["greedy"] = time.time() - t0
         clusters: List[Cluster] = []
         for _seed, members in groups:
             cseqs = [CSeq(m_, r_) for m_, r_ in members]
@@ -723,6 +728,7 @@ class BulkClusterEngine:
                                        p.repr_percentile)
             clusters.append(Cluster(main, cseqs))
 
+        t0 = time.time()
         for threshold in bv_threshold_schedule(p):
             reps = np.array([c.main_seq.seq_id for c in clusters])
             merge_groups = self._greedy_pass(reps, threshold)
@@ -738,6 +744,7 @@ class BulkClusterEngine:
                     merged.seqs, self.read_lens, p.repr_percentile)
                 tmp.append(merged)
             clusters = tmp
+        self.phase_times["merge"] = time.time() - t0
         return clusters
 
 
