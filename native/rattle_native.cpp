@@ -127,6 +127,32 @@ void rn_build_sketch(const char* seqs, const int64_t* offsets, int64_t n,
 
 namespace {
 
+// experiment knobs for spoa-semantics reconstruction (read once / process).
+// Defaults are the containment-sweep winners (docs/CONSENSUS.md): DFS topo
+// order, F-before-E traceback, first-maximum cell.  Override with
+// RATTLE_POA_TOPO=kahn, RATTLE_POA_MAX=last, RATTLE_POA_TB=EF.
+static bool poa_topo_dfs() {
+  static const bool v = [] {
+    const char* e = getenv("RATTLE_POA_TOPO");
+    return !(e && std::string(e) == "kahn");
+  }();
+  return v;
+}
+static bool poa_max_last() {
+  static const bool v = [] {
+    const char* e = getenv("RATTLE_POA_MAX");
+    return e && std::string(e) == "last";
+  }();
+  return v;
+}
+static bool poa_tb_ef() {
+  static const bool v = [] {
+    const char* e = getenv("RATTLE_POA_TB");
+    return e && std::string(e) == "EF";
+  }();
+  return v;
+}
+
 struct PoaGraph {
   std::vector<char> letters;
   std::vector<std::vector<int32_t>> in_edges;   // insertion order
@@ -150,11 +176,66 @@ struct PoaGraph {
     }
   }
 
+  // spoa-flavoured iterative DFS topological sort: iterate roots in id
+  // order, push unvisited predecessors (then unvisited aligned members)
+  // onto the stack, emit a group's members together when its leader (the
+  // first member reached) becomes valid.  Gated behind RATTLE_POA_TOPO=dfs
+  // for empirical tie-break comparison against the Kahn order below.
+  void topo_dfs(std::vector<int32_t>* rank_nodes,
+                std::vector<int32_t>* group_of_node,
+                std::vector<int32_t>* col_of_node) const {
+    const int32_t n = int32_t(letters.size());
+    std::vector<uint8_t> marks(n, 0);
+    std::vector<uint8_t> lead(n, 1);
+    std::vector<int32_t> stack;
+    rank_nodes->clear();
+    std::vector<int32_t> group_of(n, -1);
+    if (col_of_node) col_of_node->assign(n, -1);
+    int32_t col = 0;
+    for (int32_t i = 0; i < n; ++i) {
+      if (marks[i] != 0) continue;
+      stack.push_back(i);
+      while (!stack.empty()) {
+        const int32_t u = stack.back();
+        if (marks[u] == 2) { stack.pop_back(); continue; }
+        bool valid = true;
+        for (int32_t a : in_edges[u])
+          if (marks[a] != 2) { stack.push_back(a); valid = false; }
+        if (lead[u]) {
+          for (int32_t al : aligned[u])
+            if (marks[al] != 2) {
+              stack.push_back(al);
+              lead[al] = 0;
+              valid = false;
+            }
+        }
+        marks[u] = 1;
+        if (valid) {
+          marks[u] = 2;
+          if (lead[u]) {
+            rank_nodes->push_back(u);
+            group_of[u] = col;
+            if (col_of_node) (*col_of_node)[u] = col;
+            for (int32_t al : aligned[u]) {
+              rank_nodes->push_back(al);
+              group_of[al] = col;
+              if (col_of_node) (*col_of_node)[al] = col;
+            }
+            ++col;
+          }
+          stack.pop_back();
+        }
+      }
+    }
+    if (group_of_node) *group_of_node = std::move(group_of);
+  }
+
   // group-aware Kahn topological sort with min-id priority
   // (ops/poa.py topo_groups)
   void topo(std::vector<int32_t>* rank_nodes,
             std::vector<int32_t>* group_of_node,
             std::vector<int32_t>* col_of_node) const {
+    if (poa_topo_dfs()) return topo_dfs(rank_nodes, group_of_node, col_of_node);
     const int32_t n = int32_t(letters.size());
     std::vector<int32_t> group_of(n, -1);
     std::vector<std::vector<int32_t>> groups;
@@ -302,10 +383,15 @@ void align_local_cpu(const PoaGraph& g, const char* seq, int64_t L, int match,
     }
   }
 
-  // first maximum in (rank, j) row-major order
+  // first maximum in (rank, j) row-major order (last with RATTLE_POA_MAX)
   int64_t best = 0;
-  for (int64_t i = 1; i < int64_t(n + 1) * W; ++i)
-    if (H[i] > H[best]) best = i;
+  if (poa_max_last()) {
+    for (int64_t i = 1; i < int64_t(n + 1) * W; ++i)
+      if (H[i] >= H[best]) best = i;
+  } else {
+    for (int64_t i = 1; i < int64_t(n + 1) * W; ++i)
+      if (H[i] > H[best]) best = i;
+  }
   if (H[best] <= 0) {
     for (int64_t j = 0; j < L; ++j) out->emplace_back(-1, int32_t(j));
     return;
@@ -329,8 +415,13 @@ void align_local_cpu(const PoaGraph& g, const char* seq, int64_t L, int match,
         }
       }
       if (moved) continue;
-      if (H[r * W + j] == E[r * W + j]) { state = 1; continue; }
-      if (H[r * W + j] == F[r * W + j]) { state = 2; continue; }
+      if (poa_tb_ef()) {
+        if (H[r * W + j] == E[r * W + j]) { state = 1; continue; }
+        if (H[r * W + j] == F[r * W + j]) { state = 2; continue; }
+      } else {
+        if (H[r * W + j] == F[r * W + j]) { state = 2; continue; }
+        if (H[r * W + j] == E[r * W + j]) { state = 1; continue; }
+      }
       break;  // should not happen
     } else if (state == 1) {
       rev.emplace_back(-1, int32_t(j - 1));

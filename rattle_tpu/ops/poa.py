@@ -7,14 +7,17 @@ vendored here; this is an independent implementation of the classic POA
 algorithm (Lee, Grasso & Sharlow 2002) with affine gaps, written as an exact
 executable SPEC that the batched TPU kernel is tested against.
 
-Deterministic choices (documented because they define OUR msa semantics):
+Deterministic choices (documented because they define OUR msa semantics;
+chosen by measuring toyset consensus containment against the spoa-built
+goldens — see docs/CONSENSUS.md for the sweep):
 
 * DP maximum tie-break: first cell in (topo-rank ascending, seq-pos
   ascending) order.
 * Traceback preference in H state: diagonal (predecessors in edge insertion
-  order) > E (gap in graph) > F (gap in sequence, predecessors in order).
-* Topological order: Kahn's algorithm over aligned-node GROUPS with a min-id
-  priority queue; group members emit in ascending node id.  Aligned groups
+  order) > F (gap in sequence, predecessors in order) > E (gap in graph) —
+  spoa's traceback checks the vertical state before the horizontal one.
+* Topological order: spoa-style iterative DFS over nodes in id order with
+  aligned-node groups emitted together (see topo_groups).  Aligned groups
   are consecutive in rank, which makes one MSA column per group.
 
 The E recurrence exploits ge >= go to become a running max (prefix scan),
@@ -64,42 +67,53 @@ class POAGraph:
     # ---- topological order over aligned groups ----
 
     def topo_groups(self) -> Tuple[List[int], List[List[int]]]:
-        """Returns (group_of_node, groups_in_rank_order)."""
+        """Returns (group_of_node, groups_in_rank_order).
+
+        Iterative DFS in spoa's style: roots are visited in node-id order,
+        a node pushes its unvisited predecessors (then its unvisited aligned
+        members) and becomes valid once all of them are emitted; the first
+        member of an aligned group reached by the DFS is the group leader
+        and emits the whole group (leader first, then its aligned list in
+        insertion order).  Empirically this ordering — through its effect on
+        DP rank order and therefore on which co-optimal alignment the
+        traceback picks as the graph grows — is what moves toyset consensus
+        containment vs the spoa-built goldens from ~0.74 to ~0.88 mean
+        (docs/CONSENSUS.md)."""
         n = self.n_nodes()
+        marks = [0] * n
+        lead = [True] * n
         group_of = [-1] * n
-        groups: List[List[int]] = []
-        for i in range(n):
-            if group_of[i] != -1:
-                continue
-            members = sorted([i] + self.aligned[i])
-            gid = len(groups)
-            groups.append(members)
-            for m in members:
-                group_of[m] = gid
-
-        indeg = [0] * len(groups)
-        succs: List[set] = [set() for _ in groups]
-        for b in range(n):
-            gb = group_of[b]
-            for a in self.in_edges[b]:
-                ga = group_of[a]
-                if ga != gb and gb not in succs[ga]:
-                    succs[ga].add(gb)
-        for ga, ss in enumerate(succs):
-            for gb in ss:
-                indeg[gb] += 1
-
-        heap = [min(groups[g]) for g in range(len(groups)) if indeg[g] == 0]
-        id_to_group = {min(groups[g]): g for g in range(len(groups))}
-        heapq.heapify(heap)
         order: List[List[int]] = []
-        while heap:
-            g = id_to_group[heapq.heappop(heap)]
-            order.append(groups[g])
-            for gb in succs[g]:
-                indeg[gb] -= 1
-                if indeg[gb] == 0:
-                    heapq.heappush(heap, min(groups[gb]))
+        for i in range(n):
+            if marks[i]:
+                continue
+            stack = [i]
+            while stack:
+                u = stack[-1]
+                if marks[u] == 2:
+                    stack.pop()
+                    continue
+                valid = True
+                for a in self.in_edges[u]:
+                    if marks[a] != 2:
+                        stack.append(a)
+                        valid = False
+                if lead[u]:
+                    for al in self.aligned[u]:
+                        if marks[al] != 2:
+                            stack.append(al)
+                            lead[al] = False
+                            valid = False
+                marks[u] = 1
+                if valid:
+                    marks[u] = 2
+                    if lead[u]:
+                        members = [u] + list(self.aligned[u])
+                        gid = len(order)
+                        order.append(members)
+                        for m in members:
+                            group_of[m] = gid
+                    stack.pop()
         if sum(len(g) for g in order) != n:
             raise RuntimeError("cycle in POA graph")
         return group_of, order
@@ -204,11 +218,11 @@ def align_local(graph: POAGraph, seq: str, p: POAParams) -> Alignment:
                         break
             if moved:
                 continue
-            if H[r, j] == E[r, j]:
-                state = "E"
-                continue
             if H[r, j] == F[r, j]:
                 state = "F"
+                continue
+            if H[r, j] == E[r, j]:
+                state = "E"
                 continue
             raise RuntimeError("traceback stuck in H")
         elif state == "E":

@@ -10,7 +10,7 @@ Exact same semantics and tie-breaks as the oracle ``align_local``:
 * recurrences: F from predecessor rows (gap in seq), E via the prefix-max
   trick within a row (gap in graph; requires ge >= go), H = max(0, diag, E, F)
 * best cell: first maximum in (rank, seq-pos) row-major order
-* traceback preferences: diagonal (preds in insertion order) > E > F,
+* traceback preferences: diagonal (preds in insertion order) > F > E,
   and inside F: per-pred H-open check before F-extend check
 
 Memory: H/E/F are materialized [B, N+1, L+1] int32 — the scan carry is
@@ -128,8 +128,8 @@ def poa_align_batch(letters, preds, n_nodes, seq, seq_len,
         first_diag = jnp.argmax(diag_eq, axis=1)
         diag_pred = pred_idx[bidx, first_diag]
 
-        take_e = in_h & ~stop & ~any_diag & (Hrj == Erj)
-        take_f = in_h & ~stop & ~any_diag & ~take_e & (Hrj == Frj)
+        take_f = in_h & ~stop & ~any_diag & (Hrj == Frj)
+        take_e = in_h & ~stop & ~any_diag & ~take_f & (Hrj == Erj)
 
         in_e = state == 1
         e_to_h = in_e & (Erj == H[bidx, r, jnp.maximum(j - 1, 0)] + go)
