@@ -76,6 +76,13 @@ SCORE_CHUNKS: Tuple[Tuple[int, ...], ...] = ((4096, 2048, 512),
                                              (512, 256, 64))
 PAIR_BUDGET = 1 << 18
 VAR_BAND_REL = 0.02
+# sweep-phase column tiling: bounds the gate product at [k_block, SWEEP_TILE]
+# regardless of N (the absorb decision is per-column, so tiles are exact)
+SWEEP_TILE = 1 << 16
+# above this n_pad the [n_pad^2] cross-round score cache is disabled (it
+# would be 10 GB/strand at 100k reads); merge rounds then re-score rep pairs,
+# which is bounded by the (much smaller) representative count
+CACHE_MAX_N = 1 << 14
 
 _PROFILE = bool(os.environ.get("RATTLE_PROFILE"))
 
@@ -160,7 +167,12 @@ def gate_block(plane_rows, bvc_rows, order_rows, n_rows, plane_cols,
 
     ra = jnp.take(row_ids, rowc)
     rb = jnp.take(col_ids, colc)
-    cval = jnp.take(cache_flat, ra * n_pad + rb).astype(jnp.int32)
+    # explicit clip: with the cache disabled (n_pad == 1, 1-slot array) the
+    # flat index is out of bounds and the default gather mode returns
+    # garbage, not zeros
+    cval = jnp.take(cache_flat,
+                    jnp.minimum(ra * n_pad + rb,
+                                cache_flat.shape[0] - 1)).astype(jnp.int32)
     cval = jnp.where(valid, cval, 0)
     w = w.at[jnp.where(valid & (cval == 2), rowc, a + 1), colc].max(
         strand_val, mode="drop")
@@ -168,9 +180,8 @@ def gate_block(plane_rows, bvc_rows, order_rows, n_rows, plane_cols,
     return w, packed, total
 
 
-@functools.partial(jax.jit, static_argnames=("use_merge",))
-def count_chunk(pairs_rc, row_ids, col_ids, hs_a, ps_a, hs_b, ps_b, nk,
-                use_merge: bool = True):
+def _count_body(pairs_rc, row_ids, col_ids, hs_a, ps_a, hs_b, ps_b, nk,
+                use_merge: bool):
     """Match counts for one [CH, 2] chunk of (row, col) block coords."""
     act = pairs_rc[:, 0] >= 0
     a_ids = jnp.take(row_ids, jnp.clip(pairs_rc[:, 0], 0))
@@ -188,11 +199,35 @@ def count_chunk(pairs_rc, row_ids, col_ids, hs_a, ps_a, hs_b, ps_b, nk,
     return jnp.where(act, cnt, 0)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("m_cap", "kmer_size", "hc_max_dist",
-                                    "n_pad", "use_pallas"),
-                   donate_argnums=(13, 14))
-def score_chunk(pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b,
+@functools.partial(jax.jit, static_argnames=("use_merge",))
+def count_chunk(pairs_rc, row_ids, col_ids, hs_a, ps_a, hs_b, ps_b, nk,
+                use_merge: bool = True):
+    return _count_body(pairs_rc, row_ids, col_ids, hs_a, ps_a, hs_b, ps_b,
+                       nk, use_merge)
+
+
+@functools.partial(jax.jit, static_argnames=("use_merge",))
+def count_chunks_batched(pairs3d, nc_real, row_ids, col_ids, hs_a, ps_a,
+                         hs_b, ps_b, nk, use_merge: bool = True):
+    """All chunks in ONE dispatch: pairs3d [NC, CH, 2] -> counts [NC, CH].
+
+    The chunk loop is a fori_loop with a DYNAMIC trip count: pairs3d is
+    padded to a pow2 chunk count purely to bound compile variants, but only
+    ``nc_real`` chunks execute.  One executable removes the per-dispatch
+    relay latency that dominated the chunked path (~7 ms x hundreds)."""
+    nc, ch, _ = pairs3d.shape
+
+    def body(ci, out):
+        prc = jax.lax.dynamic_slice(pairs3d, (ci, 0, 0), (1, ch, 2))[0]
+        cnt = _count_body(prc, row_ids, col_ids, hs_a, ps_a, hs_b, ps_b,
+                          nk, use_merge)
+        return jax.lax.dynamic_update_slice(out, cnt[None], (ci, 0))
+
+    return jax.lax.fori_loop(0, nc_real, body,
+                             jnp.zeros((nc, ch), jnp.int32))
+
+
+def _score_body(pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b,
                 lens, sc_tab, t_v, var_band, strand_val, w, cache_flat,
                 m_cap: int, kmer_size: int, hc_max_dist: int, n_pad: int,
                 use_pallas: bool = False):
@@ -247,6 +282,55 @@ def score_chunk(pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b,
     cache_flat = cache_flat.at[flat].max(
         jnp.where(win, jnp.uint8(2), jnp.uint8(1)), mode="drop")
     return w, cache_flat, border
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m_cap", "kmer_size", "hc_max_dist",
+                                    "n_pad", "use_pallas"),
+                   donate_argnums=(13, 14))
+def score_chunk(pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b,
+                lens, sc_tab, t_v, var_band, strand_val, w, cache_flat,
+                m_cap: int, kmer_size: int, hc_max_dist: int, n_pad: int,
+                use_pallas: bool = False):
+    return _score_body(pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b,
+                       ps_b, lens, sc_tab, t_v, var_band, strand_val, w,
+                       cache_flat, m_cap, kmer_size, hc_max_dist, n_pad,
+                       use_pallas)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m_cap", "kmer_size", "hc_max_dist",
+                                    "n_pad", "use_pallas"),
+                   donate_argnums=(14, 15))
+def score_chunks_batched(pairs3d, nc_real, row_ids, col_ids, hs_a, ps_a, nk,
+                         hs_b, ps_b, lens, sc_tab, t_v, var_band,
+                         strand_val, w, cache_flat, m_cap: int,
+                         kmer_size: int, hc_max_dist: int, n_pad: int,
+                         use_pallas: bool = False):
+    """All chunks of one (class, tier) route in ONE dispatch.
+
+    pairs3d [NC, CH, 2] (NC pow2-padded for compile-variant bounding; only
+    ``nc_real`` chunks execute); w/cache thread through the loop as donated
+    carries; borders come back stacked [NC, CH] and flatten to the caller's
+    padded pair layout.  One executable per route replaces the per-chunk
+    dispatch loop whose relay latency dominated the score pass."""
+    nc, ch, _ = pairs3d.shape
+
+    def body(ci, carry):
+        w_, cache_, borders_ = carry
+        prc = jax.lax.dynamic_slice(pairs3d, (ci, 0, 0), (1, ch, 2))[0]
+        w_, cache_, border = _score_body(
+            prc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b, lens,
+            sc_tab, t_v, var_band, strand_val, w_, cache_,
+            m_cap, kmer_size, hc_max_dist, n_pad, use_pallas)
+        borders_ = jax.lax.dynamic_update_slice(borders_, border[None],
+                                                (ci, 0))
+        return w_, cache_, borders_
+
+    w, cache_flat, borders = jax.lax.fori_loop(
+        0, nc_real, body,
+        (w, cache_flat, jnp.zeros((nc, ch), jnp.bool_)))
+    return w, cache_flat, borders
 
 
 @jax.jit
@@ -304,7 +388,7 @@ class BulkClusterEngine:
     """Drop-in ``engine`` for pipeline.run_cluster; exact reference parity."""
 
     def __init__(self, seqs: Sequence[str], params: ClusterParams,
-                 sketch: Optional[DeviceSketch] = None):
+                 sketch: Optional[DeviceSketch] = None, mesh=None):
         if params.use_hc:
             # unreachable from the reference CLI (no main.cpp flag sets
             # use_hc); score_chunk gates on `bases` so mixing metrics with
@@ -314,12 +398,23 @@ class BulkClusterEngine:
         self.seqs = list(seqs)
         self.p = params
         self.n = len(seqs)
+        self.mesh = mesh
         self.read_lens = [len(s) for s in seqs]
+        n_pad_to = 256
+        if mesh is not None:
+            # the reads axis is sharded over the mesh: pad to a multiple
+            import math
+            nd = int(np.prod(mesh.devices.shape))
+            n_pad_to = 256 * nd // math.gcd(256, nd)
         self.sk = sketch if sketch is not None else build_device_sketch(
-            self.seqs, params.kmer_size, not params.is_rna)
+            self.seqs, params.kmer_size, not params.is_rna,
+            n_pad_to=n_pad_to)
+        if mesh is not None:
+            self._shard_sketch(mesh)
         sk = self.sk
         self.n_pad = sk.hbp.shape[0]
         self.k_block = min(4096, self.n_pad)
+        self.sweep_cpad = min(SWEEP_TILE, self.n_pad)
         # per-K-class table slices (narrower merges for shorter reads);
         # widths are powers of two for the bitonic merge join
         full_w = _pow2_at_least(sk.kmax, 128)
@@ -361,14 +456,21 @@ class BulkClusterEngine:
         self.n_oracle_fallbacks = 0
         self.var_band = np.float32(VAR_BAND_REL * max(self.p.t_v, 1.0))
         # cross-round score cache (outcomes are threshold-independent,
-        # directional: a = seed side); 0 unscored / 1 score-no / 2 score-yes
-        self._cache = {False: jnp.zeros((self.n_pad * self.n_pad,),
+        # directional: a = seed side); 0 unscored / 1 score-no / 2 score-yes.
+        # Disabled above CACHE_MAX_N (and on a mesh): the flat [n_pad^2]
+        # layout does not scale; merge rounds then re-score rep pairs, which
+        # is bounded by the representative count.  cache_n = 1 makes every
+        # gather hit slot 0 (always "unscored") and every scatter drop.
+        self.cache_n = self.n_pad \
+            if (mesh is None and self.n_pad <= CACHE_MAX_N) else 1
+        self._cache = {False: jnp.zeros((self.cache_n * self.cache_n,),
                                         jnp.uint8)}
         if not params.is_rna:
-            self._cache[True] = jnp.zeros((self.n_pad * self.n_pad,),
+            self._cache[True] = jnp.zeros((self.cache_n * self.cache_n,),
                                           jnp.uint8)
         self.nk_host = sk.nk_host
         self.lens_host = sk.lens_host
+        self.progress = False  # --verbose progress bar (utils.cpp:57-75)
         # coarse wall-clock per phase, filled by cluster(); each
         # _greedy_pass ends host-synced so no extra fetches are needed
         self.phase_times: Dict[str, float] = {}
@@ -376,6 +478,23 @@ class BulkClusterEngine:
         self._pallas = _pallas_ok()
 
     # ---------- helpers ----------
+
+    def _shard_sketch(self, mesh) -> None:
+        """Lay the sketch tables out sharded over the mesh's first axis
+        (reads axis).  The jitted kernels are unchanged — XLA's SPMD
+        partitioner splits the gate matmul and the join/LIS gathers across
+        devices from the input shardings (SURVEY §5 distributed backend:
+        data-parallel read sharding, collectives inserted by the compiler).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        row = NamedSharding(mesh, P(axis))
+        sk = self.sk
+        for name in ("hbp", "hs", "ps", "plane", "nk", "lens", "bvc",
+                     "rev_hs", "rev_ps", "rev_plane"):
+            arr = getattr(sk, name)
+            if arr is not None:
+                setattr(sk, name, jax.device_put(arr, row))
 
     def _bv_table(self, threshold: float) -> jnp.ndarray:
         tab = self._bv_tables.get(threshold)
@@ -484,24 +603,30 @@ class BulkClusterEngine:
         a = len(row_ids)
         c = len(col_ids)
         k = self.k_block
-        c_pad = k if c <= k else self.n_pad
+        # pow2 row/col buckets: merge rounds shrink the rep list every round,
+        # so padding everything to k_block wasted 4-16x gate FLOPs there
+        a_pad = min(k, _pow2_at_least(a, 512))
+        if ordered:
+            c_pad = a_pad  # square block: greedy_owner replays row x row
+        else:
+            c_pad = min(self.sweep_cpad, _pow2_at_least(c, 512))
         tab = self._bv_table(threshold)
 
         d_row_ids = jnp.asarray(np.pad(row_ids.astype(np.int32),
-                                       (0, k - a)))
+                                       (0, a_pad - a)))
         d_col_ids = jnp.asarray(np.pad(col_ids.astype(np.int32),
                                        (0, c_pad - c)))
         plane_rows = jnp.take(sk.plane, d_row_ids, axis=0)
         bvc_rows = jnp.take(sk.bvc, d_row_ids)
         bvc_cols = jnp.take(sk.bvc, d_col_ids)
         if ordered:
-            order_rows = jnp.arange(k, dtype=jnp.int32)
+            order_rows = jnp.arange(a_pad, dtype=jnp.int32)
             order_cols = jnp.arange(c_pad, dtype=jnp.int32)
         else:
-            order_rows = jnp.zeros((k,), jnp.int32)
+            order_rows = jnp.zeros((a_pad,), jnp.int32)
             order_cols = jnp.ones((c_pad,), jnp.int32)
 
-        w = jnp.zeros((k, c_pad), jnp.int8)
+        w = jnp.zeros((a_pad, c_pad), jnp.int8)
         strands = [False] if self.p.is_rna else [False, True]
         host_jobs: List[Tuple[bool, int, int, int, int]] = []
         border_handles: List[Tuple[bool, object, np.ndarray]] = []
@@ -515,13 +640,13 @@ class BulkClusterEngine:
             else:
                 plane_cols = jnp.take(sk.plane, d_col_ids, axis=0)
             val = jnp.int8(1 if rev else 2)
-            budget = min(PAIR_BUDGET, _pow2_at_least(k * c_pad, 1024))
+            budget = min(PAIR_BUDGET, _pow2_at_least(a_pad * c_pad, 1024))
             while True:
                 w, packed, total = gate_block(
                     plane_rows, bvc_rows, order_rows, jnp.int32(a),
                     plane_cols, bvc_cols, order_cols, jnp.int32(c), tab,
                     self._cache[rev], d_row_ids, d_col_ids, w, val,
-                    budget, self.n_pad)
+                    budget, self.cache_n)
                 ng = _fetch_scalar(total)
                 if ng <= budget:
                     break
@@ -554,27 +679,26 @@ class BulkClusterEngine:
             cls_of = np.searchsorted(np.asarray(bounds), pair_nk,
                                      side="left")
             counts = np.zeros(len(rows_f), np.int32)
+            count_handles = []
             for cls_i in range(self.n_classes):
                 sel = np.nonzero(cls_of == cls_i)[0]
                 if len(sel) == 0:
                     continue
                 ch = self.count_chunks[cls_i]
                 n_sel = len(sel)
-                n_chunks = -(-n_sel // ch)
+                n_chunks = _pow2_at_least(-(-n_sel // ch), 1)
                 arr = np.full((n_chunks * ch, 2), -1, np.int32)
                 arr[:n_sel, 0] = rows_f[sel]
                 arr[:n_sel, 1] = cols_f[sel]
-                d_arr = jnp.asarray(arr)
                 hs_a, ps_a, hs_b, ps_b = self._class_tables(cls_i, rev)
-                outs = []
-                for ci in range(n_chunks):
-                    outs.append(count_chunk(
-                        jax.lax.dynamic_slice(d_arr, (ci * ch, 0), (ch, 2)),
-                        d_row_ids, d_col_ids, hs_a, ps_a, hs_b, ps_b, sk.nk,
-                        use_merge=self.p.kmer_size <= 15))
-                got = _fetch(jnp.concatenate(outs))[:n_sel] if len(outs) > 1 \
-                    else _fetch(outs[0])[:n_sel]
-                counts[sel] = got
+                got3 = count_chunks_batched(
+                    jnp.asarray(arr).reshape(n_chunks, ch, 2),
+                    jnp.int32(-(-n_sel // ch)),
+                    d_row_ids, d_col_ids, hs_a, ps_a, hs_b, ps_b, sk.nk,
+                    use_merge=self.p.kmer_size <= 15)
+                count_handles.append((sel, n_sel, got3))
+            for sel, n_sel, got3 in count_handles:
+                counts[sel] = _fetch(got3).reshape(-1)[:n_sel]
             _prof(f"counts n={len(rows_f)}", t0)
 
             # ---- route: cheap reject, M tiers, host overflow ----
@@ -589,12 +713,9 @@ class BulkClusterEngine:
             tier_of = np.searchsorted(np.asarray(self.m_ladder), counts,
                                       side="left")
 
-            # ---- score pass: one h2d of all routed pairs, static chunks --
+            # ---- score pass: ONE dispatch per (class, tier) route ----
             t0 = time.time()
-            plan = []  # (cls, tier, offset, n, n_chunks, ch)
-            routed_rows: List[np.ndarray] = []
-            routed_cols: List[np.ndarray] = []
-            offset = 0
+            cache = self._cache[rev]
             for cls_i in range(self.n_classes):
                 for tier_i, m_cap in enumerate(self.m_ladder):
                     sel = np.nonzero((cls_of == cls_i) & (tier_of == tier_i)
@@ -603,59 +724,39 @@ class BulkClusterEngine:
                         continue
                     ch = self.score_chunks[cls_i][tier_i]
                     n_sel = len(sel)
-                    n_chunks = -(-n_sel // ch)
-                    pad = n_chunks * ch
-                    rr = np.full(pad, -1, np.int32)
-                    cc = np.zeros(pad, np.int32)
-                    rr[:n_sel] = rows_f[sel]
-                    cc[:n_sel] = cols_f[sel]
-                    routed_rows.append(rr)
-                    routed_cols.append(cc)
-                    plan.append((cls_i, tier_i, offset, n_sel, n_chunks, ch,
-                                 sel))
-                    offset += pad
-            if plan:
-                all_pairs = np.stack([np.concatenate(routed_rows),
-                                      np.concatenate(routed_cols)], axis=1)
-                d_pairs = jnp.asarray(all_pairs)
-                cache = self._cache[rev]
-                for cls_i, tier_i, off, n_sel, n_chunks, ch, sel in plan:
+                    n_chunks = _pow2_at_least(-(-n_sel // ch), 1)
+                    arr = np.full((n_chunks * ch, 2), -1, np.int32)
+                    arr[:n_sel, 0] = rows_f[sel]
+                    arr[:n_sel, 1] = cols_f[sel]
+                    arr[n_sel:, 1] = 0
                     hs_a, ps_a, hs_b, ps_b = self._class_tables(cls_i, rev)
-                    m_cap = self.m_ladder[tier_i]
-                    for ci in range(n_chunks):
-                        chunk = jax.lax.dynamic_slice(
-                            d_pairs, (off + ci * ch, 0), (ch, 2))
-                        w, cache, border = score_chunk(
-                            chunk, d_row_ids, d_col_ids, hs_a, ps_a, sk.nk,
-                            hs_b, ps_b, sk.lens, self.score_min,
-                            jnp.float32(self.p.t_v),
-                            jnp.float32(self.var_band), val, w, cache,
-                            m_cap, self.p.kmer_size, self.p.hc_max_dist,
-                            self.n_pad,
-                            use_pallas=self._pallas and m_cap <= 2048)
-                        border_handles.append(
-                            (rev, border,
-                             all_pairs[off + ci * ch: off + (ci + 1) * ch]))
-                self._cache[rev] = cache
+                    w, cache, borders = score_chunks_batched(
+                        jnp.asarray(arr).reshape(n_chunks, ch, 2),
+                        jnp.int32(-(-n_sel // ch)),
+                        d_row_ids, d_col_ids, hs_a, ps_a, sk.nk,
+                        hs_b, ps_b, sk.lens, self.score_min,
+                        jnp.float32(self.p.t_v),
+                        jnp.float32(self.var_band), val, w, cache,
+                        m_cap, self.p.kmer_size, self.p.hc_max_dist,
+                        self.cache_n,
+                        use_pallas=self._pallas and m_cap <= 2048)
+                    border_handles.append((rev, borders, arr))
+            self._cache[rev] = cache
             _prof(f"score n={int((alive & ~overflow).sum())}", t0, w)
 
         # ---- borderline-variance pairs: exact f64 host rescore ----
         if border_handles:
             t0 = time.time()
-            flat = _fetch(jnp.concatenate(
-                [b for _rev, b, _pc in border_handles])) \
-                if len(border_handles) > 1 \
-                else _fetch(border_handles[0][1])
-            off = 0
             for rev, b, pc in border_handles:
-                nb_ = len(pc)
-                for i in np.nonzero(flat[off:off + nb_])[0]:
+                # per-handle fetch: a device-side concat of per-call shape
+                # combos would recompile a trivial kernel every round
+                flags = _fetch(b).reshape(-1)
+                for i in np.nonzero(flags)[0]:
                     r_, c_ = int(pc[i, 0]), int(pc[i, 1])
                     if r_ < 0:
                         continue
                     host_jobs.append((rev, int(row_ids[r_]),
                                       int(col_ids[c_]), r_, c_))
-                off += nb_
             _prof(f"border flags ({len(host_jobs)} host jobs)", t0)
         if host_jobs:
             t0 = time.time()
@@ -683,6 +784,9 @@ class BulkClusterEngine:
         pool = np.arange(m)
         k = self.k_block
         while len(pool):
+            if self.progress:
+                from ..utils.metrics import print_progress
+                print_progress(m - len(pool), m)
             blk = pool[:k]
             nb = len(blk)
             w1 = self._decide(ids[blk], ids[blk], threshold, ordered=True)
@@ -696,16 +800,25 @@ class BulkClusterEngine:
             rest = pool[k:]
             if len(rest) == 0:
                 break
-            # all true seeds of this block sweep the remaining pool
-            w2 = self._decide(ids[seeds], ids[rest], threshold,
-                              ordered=False)
-            t0 = time.time()
-            pk = _fetch(absorb_rest(w2))[:len(rest)]
-            _prof(f"absorb rest n={len(rest)}", t0)
-            won = pk >= 0
-            owner[rest[won]] = seeds[(pk[won] >> 1)]
-            revf[rest[won]] = (pk[won] & 1).astype(bool)
-            pool = rest[~won]
+            # all true seeds of this block sweep the remaining pool in
+            # bounded column tiles (the first-claim absorb decision is
+            # per-column, so tiling is exact)
+            survivors = []
+            for t0_col in range(0, len(rest), self.sweep_cpad):
+                tile = rest[t0_col:t0_col + self.sweep_cpad]
+                w2 = self._decide(ids[seeds], ids[tile], threshold,
+                                  ordered=False)
+                t0 = time.time()
+                pk = _fetch(absorb_rest(w2))[:len(tile)]
+                _prof(f"absorb rest n={len(tile)}", t0)
+                won = pk >= 0
+                owner[tile[won]] = seeds[(pk[won] >> 1)]
+                revf[tile[won]] = (pk[won] & 1).astype(bool)
+                survivors.append(tile[~won])
+            pool = np.concatenate(survivors) if survivors else rest[:0]
+        if self.progress:
+            from ..utils.metrics import print_progress
+            print_progress(m, m)
         groups: Dict[int, List[Tuple[int, bool]]] = {}
         for pos in range(m):
             groups.setdefault(int(owner[pos]), []).append(
@@ -751,9 +864,12 @@ class BulkClusterEngine:
 ORACLE_CUTOVER = 48
 
 
-def cluster_reads_bulk(seqs: Sequence[str],
-                       params: ClusterParams) -> List[Cluster]:
+def cluster_reads_bulk(seqs: Sequence[str], params: ClusterParams,
+                       progress: bool = False,
+                       mesh=None) -> List[Cluster]:
     """Engine entry point for pipeline.run_cluster."""
     if len(seqs) < ORACLE_CUTOVER:
-        return oracle.cluster_reads(seqs, params)
-    return BulkClusterEngine(seqs, params).cluster()
+        return oracle.cluster_reads(seqs, params, progress=progress)
+    engine = BulkClusterEngine(seqs, params, mesh=mesh)
+    engine.progress = progress
+    return engine.cluster()

@@ -1,32 +1,33 @@
 """Exact host clustering engine: NumPy bitvector gate + native C++ scoring.
 
-A CPU twin of the TPU driver with identical results: the greedy replay is
-inherited from TpuClusterEngine; only the decision matrix computation is
-overridden.  All gate comparisons run in float64 (bit-identical to the
-reference's doubles — no threshold tables or borderline bands needed), and
-pair scores come from the native C++ scorer (tests prove it bit-equal to the
-oracle, including the NaN variance quirk).
+A CPU twin of the device engine with identical results: a batched greedy
+sweep (seed batch vs unclustered pool) whose per-pair decisions all run in
+float64 (bit-identical to the reference's doubles — no threshold tables or
+borderline bands needed); pair scores come from the native C++ scorer
+(tests prove it bit-equal to the oracle, including the NaN variance quirk).
 
 Used as the engine fallback when no accelerator is attached, and by
-benchmarks as the honest CPU baseline.
+benchmarks as the honest CPU baseline.  Reference semantics:
+cluster.cpp:93-259.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..config import ClusterParams
-from ..io.hpsio import Cluster
+from ..config import ClusterParams, bv_threshold_schedule
+from ..io.hpsio import CSeq, Cluster
 from ..ops.sketch import build_sketch_tables
 from .. import native
 from . import oracle
-from .driver import TpuClusterEngine
+
+SEED_BATCH = 48
 
 
-class HostClusterEngine(TpuClusterEngine):
-    """Same greedy replay; decisions on the host CPU."""
+class HostClusterEngine:
+    """Batched greedy replay (cluster.cpp:124-256); decisions on the host."""
 
     def __init__(self, seqs: Sequence[str], params: ClusterParams):
         # deliberately skip the TPU parent __init__: no device arrays
@@ -92,6 +93,96 @@ class HostClusterEngine(TpuClusterEngine):
             rev_gate = rev_common.astype(np.float64) / mmax >= threshold
             strand(rev_gate, rev=True, exclude=decision == 0)
         return decision
+
+    def _greedy(self, order: np.ndarray, threshold: float,
+                seed_reads_of: Optional[np.ndarray] = None):
+        """Batched greedy sweep over ``order`` (ascending positions):
+        a fixed-size batch of still-unclustered seeds is decided against the
+        whole unclustered pool at once; absorption replays the reference's
+        sequential first-claim order (cluster.cpp:124-166)."""
+        n = len(order)
+        already = np.zeros(n, bool)
+        groups: List[Tuple[int, List[Tuple[int, bool]]]] = []
+        reads_of = seed_reads_of if seed_reads_of is not None else order
+
+        pos = 0
+        while pos < n:
+            seed_positions = []
+            q = pos
+            while q < n and len(seed_positions) < SEED_BATCH:
+                if not already[q]:
+                    seed_positions.append(q)
+                q += 1
+            if not seed_positions:
+                break
+            seed_positions = np.array(seed_positions)
+            pool_positions = np.nonzero(~already)[0]
+            pool_positions = pool_positions[pool_positions > seed_positions[0]]
+            if len(pool_positions) == 0:
+                for sp in seed_positions:
+                    if not already[sp]:
+                        already[sp] = True
+                        groups.append((int(order[sp]),
+                                       [(int(order[sp]), False)]))
+                pos = q
+                continue
+
+            decision = self._decide_pairs(
+                order[seed_positions], order[pool_positions], threshold,
+                seed_reads=reads_of[seed_positions],
+                pool_reads=reads_of[pool_positions])
+
+            for col, sp in enumerate(seed_positions):
+                if already[sp]:
+                    continue  # absorbed by an earlier seed in this batch
+                already[sp] = True
+                members = [(int(order[sp]), False)]
+                dcol = decision[:, col]
+                for row, pp in enumerate(pool_positions):
+                    if already[pp] or pp <= sp:
+                        continue
+                    if dcol[row]:
+                        already[pp] = True
+                        members.append((int(order[pp]), dcol[row] == 2))
+                groups.append((int(order[sp]), members))
+            pos = q
+            while pos < n and already[pos]:
+                pos += 1
+        return groups
+
+    def cluster(self) -> List[Cluster]:
+        p = self.p
+        order = np.arange(self.n)
+
+        # --- greedy seeding (cluster.cpp:124-166) ---
+        groups = self._greedy(order, p.bv_threshold)
+        clusters: List[Cluster] = []
+        for _seed, members in groups:
+            cseqs = [CSeq(m, r) for m, r in members]
+            main = oracle.get_main_seq(cseqs, self.read_lens,
+                                       p.repr_percentile)
+            clusters.append(Cluster(main, cseqs))
+
+        # --- merge rounds (cluster.cpp:171-256) ---
+        for threshold in bv_threshold_schedule(p):
+            nc = len(clusters)
+            cluster_ids = np.arange(nc)
+            reps = np.array([c.main_seq.seq_id for c in clusters])
+            merge_groups = self._greedy(cluster_ids, threshold,
+                                        seed_reads_of=reps)
+            tmp: List[Cluster] = []
+            for _seed_cid, members in merge_groups:
+                merged = Cluster(CSeq(-1, False), [])
+                for cid, rev in members:
+                    for s in clusters[cid].seqs:
+                        merged.seqs.append(
+                            CSeq(s.seq_id, (not s.rev) if rev else s.rev,
+                                 s.gene_id))
+                merged.main_seq = oracle.get_main_seq(
+                    merged.seqs, self.read_lens, p.repr_percentile)
+                tmp.append(merged)
+            clusters = tmp
+        return clusters
 
 
 def cluster_reads_host(seqs: Sequence[str], params: ClusterParams) -> List[Cluster]:

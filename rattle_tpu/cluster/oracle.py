@@ -259,6 +259,9 @@ def cluster_reads(seqs: Sequence[str], p: ClusterParams,
         return pool[ok]
 
     for i in range(n):
+        if progress:
+            from ..utils.metrics import print_progress
+            print_progress(i, n)  # cluster.cpp:126
         if already[i]:
             continue
         already[i] = True
@@ -279,6 +282,9 @@ def cluster_reads(seqs: Sequence[str], p: ClusterParams,
         reps = np.array([c.main_seq.seq_id for c in clusters])
         tmp: List[Cluster] = []
         for i in range(nc):
+            if progress:
+                from ..utils.metrics import print_progress
+                print_progress(i, nc)  # cluster.cpp:178
             if already[i]:
                 continue
             already[i] = True

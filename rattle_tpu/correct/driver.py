@@ -118,7 +118,8 @@ def correct_reads(clusters: ClusterSet, reads: ReadSet, p: CorrectParams,
                   labels: Optional[List[str]] = None,
                   msa_fn: Optional[Callable[[List[str]], List[str]]] = None,
                   pack_runner=None,
-                  checkpoint_dir: Optional[str] = None) -> CorrectionResults:
+                  checkpoint_dir: Optional[str] = None,
+                  verbose: bool = False) -> CorrectionResults:
     """Full correction stage (correct.cpp:311-563).
 
     ``checkpoint_dir`` enables pack-granular resume (utils/checkpoint.py):
@@ -177,8 +178,16 @@ def correct_reads(clusters: ClusterSet, reads: ReadSet, p: CorrectParams,
                     ckpt.record(PackResult(i, out[0], out[1], out[2]))
                 yield out
 
+    # progress over reads drained from the pack queue (correct.cpp:391)
+    n_total = sum(len(pk.reads) for pk in packs) + len(small_uncorrected)
+    n_done = len(small_uncorrected)
+
     for pack, (corrected, uncorrected, consensus) in zip(packs,
                                                          outcomes_in_order()):
+        if verbose:
+            from ..utils.metrics import print_progress
+            print_progress(n_done, n_total)
+            n_done += len(pack.reads)
         res.corrected.extend(corrected)
         res.uncorrected.extend(uncorrected)
         gid, label_result = _parse_pack_labels(pack.reads, labels)

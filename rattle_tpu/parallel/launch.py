@@ -9,7 +9,7 @@ the TPU-native scale story is multi-controller JAX:
   length-sorted read set (global-index contract of main.cpp:27,47 preserved —
   indices are assigned before sharding, so every host agrees on them),
 * decisions run sharded over the GLOBAL device mesh
-  (cluster/distributed.py's shard_map kernel),
+  (cluster/bulk.py's mesh mode: tables sharded along the reads axis),
 * the decision matrix is allgathered and every host replays the greedy sweep
   identically (it is a pure function of the gathered data), so the outputs
   are byte-identical on every host with no further coordination.

@@ -164,7 +164,8 @@ def main(argv=None):
                            split=args.split, min_reads=args.min_reads)
         res = correct_reads(clusters, reads, cp, labels=labels,
                             pack_runner=_pack_runner(args.poa_backend),
-                            checkpoint_dir=args.checkpoint_dir)
+                            checkpoint_dir=args.checkpoint_dir,
+                            verbose=args.verbose)
         fastx.write_fastq(res.corrected, os.path.join(args.output, "corrected.fq"))
         fastx.write_fastq(res.uncorrected, os.path.join(args.output, "uncorrected.fq"))
         fastx.write_fastq(res.consensi, os.path.join(args.output, "consensi.fq"))

@@ -43,8 +43,16 @@ def run_cluster(
     if engine is None:
         from ..cluster.oracle import cluster_reads as engine  # noqa: PLC0415
 
+    import inspect
+    kw = {}
+    try:
+        if "progress" in inspect.signature(engine).parameters:
+            kw["progress"] = verbose
+    except (TypeError, ValueError):
+        pass
+
     seqs = [r.seq for r in reads]
-    gene_clusters = engine(seqs, gene_params)
+    gene_clusters = engine(seqs, gene_params, **kw)
 
     if not iso:
         out: ClusterSet = []

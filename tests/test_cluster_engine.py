@@ -1,7 +1,7 @@
-"""TPU cluster engine vs the exact oracle on synthetic read sets."""
+"""Bulk TPU cluster engine vs the exact oracle on synthetic read sets."""
 
 from rattle_tpu.cluster import oracle
-from rattle_tpu.cluster.driver import TpuClusterEngine
+from rattle_tpu.cluster.bulk import BulkClusterEngine
 from rattle_tpu.config import ClusterParams
 
 
@@ -12,7 +12,7 @@ def sig(clusters):
 
 def _run_both(seqs, params):
     expected = oracle.cluster_reads(seqs, params)
-    engine = TpuClusterEngine(seqs, params)
+    engine = BulkClusterEngine(seqs, params)
     got = engine.cluster()
     return expected, got, engine
 
@@ -25,7 +25,6 @@ def test_engine_matches_oracle_rna(synthetic_families):
 
 
 def test_engine_matches_oracle_cdna(rng, synthetic_families):
-    from .conftest import make_read, mutate
     from rattle_tpu.ops.encode import reverse_complement_str
     # include reverse-complemented family members to exercise the rev path
     seqs = []
@@ -51,10 +50,24 @@ def test_clusters_are_sensible(synthetic_families):
     seqs = [synthetic_families[i][0] for i in order]
     fams = [synthetic_families[i][1] for i in order]
     params = ClusterParams(is_rna=True)
-    clusters = oracle.cluster_reads(seqs, params)
-    # homogeneity proxy: each cluster dominated by one family
-    impure = 0
+    clusters = BulkClusterEngine(seqs, params).cluster()
+    # most clusters should be family-pure
+    pure = 0
     for c in clusters:
-        seen = [fams[s.seq_id] for s in c.seqs]
-        impure += len(seen) - seen.count(max(set(seen), key=seen.count))
-    assert impure <= len(seqs) * 0.05
+        members = {fams[s.seq_id] for s in c.seqs}
+        pure += len(members) == 1
+    assert pure >= len(clusters) * 0.8
+
+
+def test_host_engine_matches_oracle(synthetic_families):
+    """The honest CPU-baseline engine replays the same decisions."""
+    import pytest
+    from rattle_tpu import native
+    from rattle_tpu.cluster.host_engine import HostClusterEngine
+    if not native.available():
+        pytest.skip("native library unavailable")
+    seqs = sorted((s for s, _ in synthetic_families), key=len, reverse=True)
+    params = ClusterParams(is_rna=True)
+    expected = oracle.cluster_reads(seqs, params)
+    got = HostClusterEngine(seqs, params).cluster()
+    assert sig(got) == sig(expected)

@@ -1,0 +1,55 @@
+"""Consensus-quality regression floor vs the golden consensi.
+
+Runs the correct stage on a handful of golden clusters and asserts 20-mer
+containment of the golden consensus in ours stays above the level achieved
+in round 3 (docs/CONSENSUS.md).  Guards the POA tie-break semantics (DFS
+topo order, F-before-E traceback) against silent regressions — the full
+toyset check lives in tools/validate_correct.py.
+"""
+
+import os
+
+import pytest
+
+from rattle_tpu.config import CorrectParams
+from rattle_tpu.correct.driver import correct_reads
+from rattle_tpu.io import fastx, hpsio
+
+REF_OUT = "/root/reference/toyset/rna/output"
+SAMPLE = os.path.join(os.path.dirname(__file__), "..", "testdata",
+                      "sample.fastq")
+
+# (cluster id, floor): achieved round-3 levels minus a small safety margin
+CASES = [(185, 0.95), (139, 0.92), (308, 0.93), (30, 0.92), (203, 0.91)]
+
+
+def kmer_containment(a: str, b: str, k: int = 20) -> float:
+    if len(a) < k or len(b) < k:
+        return 0.0
+    kb = set(b[i:i + k] for i in range(len(b) - k + 1))
+    hits = sum(1 for i in range(len(a) - k + 1) if a[i:i + k] in kb)
+    return hits / (len(a) - k + 1)
+
+
+@pytest.fixture(scope="module")
+def consensi():
+    if not os.path.isdir(REF_OUT):
+        pytest.skip("reference goldens unavailable")
+    reads = fastx.read_multiple_inputs([SAMPLE], [])
+    clusters = hpsio.read_clusters(os.path.join(REF_OUT, "clusters.out"))
+    sub = [clusters[cid] for cid, _ in CASES]
+    res = correct_reads(sub, reads, CorrectParams())
+    out = {}
+    for r in res.consensi:
+        sub_idx = int(r.header.split()[0].rsplit("_", 1)[1])
+        out[CASES[sub_idx][0]] = r.seq
+    return out
+
+
+@pytest.mark.parametrize("cid,floor", CASES)
+def test_containment_floor(consensi, cid, floor):
+    golden = fastx.read_fastq_plain(os.path.join(REF_OUT, "consensi.fq"))
+    g = next(x.seq for x in golden
+             if int(x.header.split()[0].rsplit("_", 1)[1]) == cid)
+    got = kmer_containment(g, consensi[cid])
+    assert got >= floor, f"cluster {cid}: containment {got:.3f} < {floor}"
