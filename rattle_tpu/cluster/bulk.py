@@ -120,10 +120,11 @@ def _pow2_at_least(n: int, lo: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("budget", "n_pad"),
-                   donate_argnums=(12,))
-def gate_block(plane_rows, bvc_rows, order_rows, n_rows, plane_cols,
-               bvc_cols, order_cols, n_cols, tab, cache_flat, row_ids,
-               col_ids, w, strand_val, budget: int, n_pad: int):
+                   donate_argnums=(14,))
+def gate_block(plane_rows, bvc_rows, order_rows, group_rows, n_rows,
+               plane_cols, bvc_cols, order_cols, group_cols, n_cols, tab,
+               cache_flat, row_ids, col_ids, w, strand_val, budget: int,
+               n_pad: int):
     """Bitvector gate (cluster.cpp:13-19) + row-sorted pair compaction.
 
     Returns (w', packed [budget] int32, total): packed holds
@@ -131,6 +132,10 @@ def gate_block(plane_rows, bvc_rows, order_rows, n_rows, plane_cols,
     (state 2) are folded into ``w`` on device so the host only routes the
     unscored remainder.  The row-sort compaction replaces a global
     nonzero-sort over [A*C] (measured ~1.1 s at 8448^2) with A row sorts.
+
+    ``group_rows/cols``: pairs from different groups never gate — this is
+    how --iso batches every gene cluster's sub-clustering into one pass
+    (main.cpp:280-323 runs them as separate cluster_reads calls).
     """
     a = plane_rows.shape[0]
     c = plane_cols.shape[0]
@@ -143,6 +148,7 @@ def gate_block(plane_rows, bvc_rows, order_rows, n_rows, plane_cols,
     ci = jax.lax.broadcasted_iota(jnp.int32, (a, c), 1)
     passed = (common >= tab[mmax]) \
         & (order_rows[:, None] < order_cols[None, :]) \
+        & (group_rows[:, None] == group_cols[None, :]) \
         & (ri < n_rows) & (ci < n_cols)
 
     keys = jnp.where(passed, ci, INT32_MAX)
@@ -388,7 +394,8 @@ class BulkClusterEngine:
     """Drop-in ``engine`` for pipeline.run_cluster; exact reference parity."""
 
     def __init__(self, seqs: Sequence[str], params: ClusterParams,
-                 sketch: Optional[DeviceSketch] = None, mesh=None):
+                 sketch: Optional[DeviceSketch] = None, mesh=None,
+                 groups: Optional[np.ndarray] = None):
         if params.use_hc:
             # unreachable from the reference CLI (no main.cpp flag sets
             # use_hc); score_chunk gates on `bases` so mixing metrics with
@@ -471,6 +478,10 @@ class BulkClusterEngine:
         self.nk_host = sk.nk_host
         self.lens_host = sk.lens_host
         self.progress = False  # --verbose progress bar (utils.cpp:57-75)
+        # group constraint (--iso batching): reads in different groups are
+        # never compared; default one global group
+        self.groups = np.zeros(self.n, np.int32) if groups is None \
+            else np.asarray(groups, np.int32)
         # coarse wall-clock per phase, filled by cluster(); each
         # _greedy_pass ends host-synced so no extra fetches are needed
         self.phase_times: Dict[str, float] = {}
@@ -616,6 +627,10 @@ class BulkClusterEngine:
                                        (0, a_pad - a)))
         d_col_ids = jnp.asarray(np.pad(col_ids.astype(np.int32),
                                        (0, c_pad - c)))
+        group_rows = jnp.asarray(np.pad(self.groups[row_ids],
+                                        (0, a_pad - a), constant_values=-1))
+        group_cols = jnp.asarray(np.pad(self.groups[col_ids],
+                                        (0, c_pad - c), constant_values=-2))
         plane_rows = jnp.take(sk.plane, d_row_ids, axis=0)
         bvc_rows = jnp.take(sk.bvc, d_row_ids)
         bvc_cols = jnp.take(sk.bvc, d_col_ids)
@@ -643,8 +658,9 @@ class BulkClusterEngine:
             budget = min(PAIR_BUDGET, _pow2_at_least(a_pad * c_pad, 1024))
             while True:
                 w, packed, total = gate_block(
-                    plane_rows, bvc_rows, order_rows, jnp.int32(a),
-                    plane_cols, bvc_cols, order_cols, jnp.int32(c), tab,
+                    plane_rows, bvc_rows, order_rows, group_rows,
+                    jnp.int32(a), plane_cols, bvc_cols, order_cols,
+                    group_cols, jnp.int32(c), tab,
                     self._cache[rev], d_row_ids, d_col_ids, w, val,
                     budget, self.cache_n)
                 ng = _fetch_scalar(total)
@@ -865,11 +881,28 @@ ORACLE_CUTOVER = 48
 
 
 def cluster_reads_bulk(seqs: Sequence[str], params: ClusterParams,
-                       progress: bool = False,
-                       mesh=None) -> List[Cluster]:
-    """Engine entry point for pipeline.run_cluster."""
+                       progress: bool = False, mesh=None,
+                       groups: Optional[np.ndarray] = None) -> List[Cluster]:
+    """Engine entry point for pipeline.run_cluster.
+
+    ``groups``: optional per-read group ids.  Reads in different groups are
+    never compared and sub-clusterings of all groups run in ONE batched
+    device pass — this is how --iso clusters every gene cluster's members
+    at once instead of one engine call per gene cluster (main.cpp:280-323).
+    Output order matches the reference's per-group emission because group
+    member positions are contiguous and clusters emit in seed order."""
     if len(seqs) < ORACLE_CUTOVER:
-        return oracle.cluster_reads(seqs, params, progress=progress)
-    engine = BulkClusterEngine(seqs, params, mesh=mesh)
+        if groups is None:
+            return oracle.cluster_reads(seqs, params, progress=progress)
+        out: List[Cluster] = []
+        g_arr = np.asarray(groups)
+        for g in np.unique(g_arr):
+            idx = np.nonzero(g_arr == g)[0]
+            for c in oracle.cluster_reads([seqs[i] for i in idx], params):
+                main = CSeq(int(idx[c.main_seq.seq_id]), c.main_seq.rev)
+                mem = [CSeq(int(idx[s.seq_id]), s.rev) for s in c.seqs]
+                out.append(Cluster(main, mem))
+        return out
+    engine = BulkClusterEngine(seqs, params, mesh=mesh, groups=groups)
     engine.progress = progress
     return engine.cluster()

@@ -65,11 +65,48 @@ def run_cluster(
     iso_params = iso_params or ClusterParams(kmer_size=11, t_s=0.3, t_v=25.0,
                                              is_rna=gene_params.is_rna)
     iso_clusters: ClusterSet = []
-    for gid, c in enumerate(gene_clusters):
+    for c in gene_clusters:
         # re-sort members: stable by seq_id desc then stable by length desc
         # (main.cpp:285-291); matches get_main_seq's order so usually a no-op
         c.seqs.sort(key=lambda s: -s.seq_id)
         c.seqs.sort(key=lambda s: -len(reads[s.seq_id].seq))
+
+    grouped = False
+    try:
+        grouped = "groups" in inspect.signature(engine).parameters
+    except (TypeError, ValueError):
+        pass
+
+    if grouped:
+        # one batched pass over every gene cluster (pairs across gene
+        # clusters are masked out on device; exact per-cluster semantics)
+        import numpy as np
+        all_seqs: List[str] = []
+        groups: List[int] = []
+        bases: List[int] = []
+        for gid, c in enumerate(gene_clusters):
+            bases.append(len(all_seqs))
+            for s in c.seqs:
+                all_seqs.append(reads[s.seq_id].seq)
+                groups.append(gid)
+        g_arr = np.asarray(groups, np.int32)
+        sub = engine(all_seqs, iso_params, groups=g_arr, **kw)
+        for ic in sub:
+            gid = int(g_arr[ic.main_seq.seq_id])
+            c = gene_clusters[gid]
+            base = bases[gid]
+            main_orig = int(
+                reads[c.seqs[ic.main_seq.seq_id - base].seq_id].ann)
+            members = [
+                CSeq(int(reads[c.seqs[s.seq_id - base].seq_id].ann),
+                     s.rev, gid)
+                for s in ic.seqs
+            ]
+            iso_clusters.append(
+                Cluster(CSeq(main_orig, ic.main_seq.rev, gid), members))
+        return iso_clusters
+
+    for gid, c in enumerate(gene_clusters):
         gene_seqs = [reads[s.seq_id].seq for s in c.seqs]
         sub = engine(gene_seqs, iso_params)
         for ic in sub:
