@@ -24,7 +24,12 @@ from ..ops.poa_device import alignment_to_host, poa_align_batch
 from .consensus import correct_read_pack, fix_msa_ends, generate_consensus_vector
 
 PMAX = 8          # predecessor cap per node; overflow -> oracle fallback
-LANES = 8         # packs in flight per device call
+LANES = 8         # minimum packs in flight per device call
+MAX_LANES = 128
+# device-memory budget for the H/E/F DP arrays (bytes); lanes per group are
+# sized to fill it — small packs (the common case) run 64-128 wide
+HBM_BUDGET = int(4.0 * 2**30)
+RANK_CAP = 32767  # packed traceback stores rank+1 in 16 bits
 
 
 def _round_pow2(x: int, lo: int) -> int:
@@ -32,6 +37,19 @@ def _round_pow2(x: int, lo: int) -> int:
     while p < x:
         p *= 2
     return p
+
+
+def _lanes_for(n_cap: int, l_cap: int) -> int:
+    """Memory-budgeted lane count (pow2 for compile reuse)."""
+    from ..ops.poa_device import SMALL_L
+    cell = 2 if l_cap <= SMALL_L else 4
+    per_lane = 3 * (n_cap + 1) * (l_cap + 1) * cell \
+        + n_cap * PMAX * 4 + (n_cap + l_cap) * 4
+    lanes = max(1, HBM_BUDGET // max(per_lane, 1))
+    p = 1
+    while p * 2 <= lanes:
+        p *= 2
+    return max(LANES, min(MAX_LANES, p))
 
 
 class _LaneState:
@@ -105,7 +123,7 @@ class _LaneState:
 
 
 def batched_msa(all_seqs: List[List[str]], params: poa.POAParams,
-                lanes: int = LANES) -> List[List[str]]:
+                lanes: int = 0) -> List[List[str]]:
     """MSA for many packs, batching alignments across packs on device.
 
     Set RATTLE_POA_BACKEND=native to run the native C++ aligner on the host
@@ -127,15 +145,27 @@ def batched_msa(all_seqs: List[List[str]], params: poa.POAParams,
     queue = list(order)
 
     while queue:
-        group = queue[:lanes]
-        queue = queue[lanes:]
+        lmax0 = max((len(s) for s in all_seqs[queue[0]]), default=1)
+        l_cap = _round_pow2(lmax0 + 1, 128)
+        n_lanes = lanes or _lanes_for(
+            _round_pow2(min(4 * lmax0 + 64, 3 * l_cap), 256), l_cap)
+        group = queue[:n_lanes]
+        queue = queue[n_lanes:]
         lmax = max(max((len(s) for s in all_seqs[i]), default=1) for i in group)
         l_cap = _round_pow2(lmax + 1, 128)
         n_cap = _round_pow2(min(4 * lmax + 64, 3 * l_cap), 256)
         states = [_LaneState(all_seqs[i], n_cap, l_cap) for i in group]
+        if n_cap > RANK_CAP:
+            # packed traceback can't address these ranks; host-align the
+            # whole group (reads this long overflowed lane caps before too)
+            for st in states:
+                st.fallback = True
+            n_cap = 0
         max_reads = max(len(s.seqs) for s in states)
 
         for t in range(max_reads):
+            if n_cap == 0:
+                break
             active = []
             for li, st in enumerate(states):
                 if st.fallback or st.next_read >= len(st.seqs):
@@ -149,7 +179,7 @@ def batched_msa(all_seqs: List[List[str]], params: poa.POAParams,
 
             b = len(group)
             letters = np.zeros((b, n_cap), dtype=np.uint8)
-            preds = np.full((b, n_cap, PMAX), -1, dtype=np.int32)
+            preds = np.full((b, n_cap, PMAX), -1, dtype=np.int16)
             n_nodes = np.zeros(b, dtype=np.int32)
             seq_arr = np.zeros((b, l_cap), dtype=np.uint8)
             seq_len = np.zeros(b, dtype=np.int32)

@@ -13,8 +13,17 @@ Exact same semantics and tie-breaks as the oracle ``align_local``:
 * traceback preferences: diagonal (preds in insertion order) > F > E,
   and inside F: per-pred H-open check before F-extend check
 
-Memory: H/E/F are materialized [B, N+1, L+1] int32 — the scan carry is
-donated so XLA updates rows in place.
+Memory/bandwidth layout (matters through the 3 MB/s relay this TPU sits
+behind):
+
+* H/E/F store as int16 when ``l_cap <= SMALL_L`` (arithmetic stays int32;
+  stored values clamp at CLAMP16, which no optimal-path value can reach:
+  a gap run on an optimal SW path is repaid by matches, bounding path
+  values at -(8 + 6 * ceil(5 * l_cap / 6)) > CLAMP16 for l_cap <= 3200) —
+  halves the dominant [B, N+1, L+1] x3 footprint, doubling usable lanes
+* predecessor tables upload as int16 (rank fits: n_cap <= 32767)
+* the traceback returns ONE packed int32 array ((rank+1) << 16 | (pos+1),
+  reversed order) instead of two — halves the per-step d2h volume
 """
 
 from __future__ import annotations
@@ -27,11 +36,12 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG = -(2**30)
+CLAMP16 = -16384
+SMALL_L = 3200  # max l_cap for which int16 cell storage is provably exact
 
 
 class BatchedAlignment(NamedTuple):
-    nodes: jax.Array    # [B, T] int32: graph RANK (0-based) or -1, reversed order
-    pos: jax.Array      # [B, T] int32: seq position or -1, reversed order
+    packed: jax.Array   # [B, T] int32: (rank+1) << 16 | (seq_pos+1), reversed
     length: jax.Array   # [B] int32: entries used
     aligned: jax.Array  # [B] bool: best score > 0
 
@@ -40,17 +50,25 @@ class BatchedAlignment(NamedTuple):
 def poa_align_batch(letters, preds, n_nodes, seq, seq_len,
                     match: int = 5, mismatch: int = -4, go: int = -8,
                     ge: int = -6) -> BatchedAlignment:
-    """letters [B,N] uint8 raw chars; preds [B,N,PMAX] int32 (pred RANK+1,
-    0 = virtual start, -1 = padding); n_nodes [B]; seq [B,L] uint8 (0 pad);
-    seq_len [B]."""
+    """letters [B,N] uint8 raw chars; preds [B,N,PMAX] int (pred RANK+1,
+    0 = virtual start, -1 = padding; int16 or int32); n_nodes [B];
+    seq [B,L] uint8 (0 pad); seq_len [B]."""
     b, n = letters.shape
-    pmax = preds.shape[2]
+    preds = preds.astype(jnp.int32)
     l = seq.shape[1]
     jcols = jnp.arange(l + 1, dtype=jnp.int32)
 
-    H0 = jnp.zeros((b, n + 1, l + 1), jnp.int32)
-    E0 = jnp.full((b, n + 1, l + 1), NEG, jnp.int32)
-    F0 = jnp.full((b, n + 1, l + 1), NEG, jnp.int32)
+    small = l <= SMALL_L
+    cell = jnp.int16 if small else jnp.int32
+    neg_store = jnp.asarray(CLAMP16 if small else NEG, cell)
+
+    def store(x):
+        return jnp.maximum(x, jnp.int32(CLAMP16)).astype(cell) if small \
+            else x
+
+    H0 = jnp.zeros((b, n + 1, l + 1), cell)
+    E0 = jnp.full((b, n + 1, l + 1), neg_store, cell)
+    F0 = jnp.full((b, n + 1, l + 1), neg_store, cell)
 
     seq_valid = jcols[None, 1:] <= seq_len[:, None]   # [B, L]
 
@@ -60,8 +78,8 @@ def poa_align_batch(letters, preds, n_nodes, seq, seq_len,
         pred = jax.lax.dynamic_index_in_dim(preds, r, axis=1, keepdims=False)
         pred_idx = jnp.clip(pred, 0, n)
         pred_ok = pred >= 0
-        Hp = jnp.take_along_axis(H, pred_idx[:, :, None], axis=1)  # [B,P,L+1]
-        Fp = jnp.take_along_axis(F, pred_idx[:, :, None], axis=1)
+        Hp = jnp.take_along_axis(H, pred_idx[:, :, None], axis=1).astype(jnp.int32)
+        Fp = jnp.take_along_axis(F, pred_idx[:, :, None], axis=1).astype(jnp.int32)
         Hp = jnp.where(pred_ok[:, :, None], Hp, NEG)
         Fp = jnp.where(pred_ok[:, :, None], Fp, NEG)
 
@@ -81,9 +99,9 @@ def poa_align_batch(letters, preds, n_nodes, seq, seq_len,
         h = jnp.where(live, h, NEG)
         e = jnp.where(live, e, NEG)
         f = jnp.where(live, f, NEG)
-        H = jax.lax.dynamic_update_slice(H, h[:, None, :], (0, r + 1, 0))
-        E = jax.lax.dynamic_update_slice(E, e[:, None, :], (0, r + 1, 0))
-        F = jax.lax.dynamic_update_slice(F, f[:, None, :], (0, r + 1, 0))
+        H = jax.lax.dynamic_update_slice(H, store(h)[:, None, :], (0, r + 1, 0))
+        E = jax.lax.dynamic_update_slice(E, store(e)[:, None, :], (0, r + 1, 0))
+        F = jax.lax.dynamic_update_slice(F, store(f)[:, None, :], (0, r + 1, 0))
         return (H, E, F), None
 
     (H, E, F), _ = jax.lax.scan(dp_step, (H0, E0, F0),
@@ -97,25 +115,25 @@ def poa_align_batch(letters, preds, n_nodes, seq, seq_len,
     aligned = best_score > 0
 
     tmax = n + l
-    out_nodes0 = jnp.full((b, tmax), -1, jnp.int32)
-    out_pos0 = jnp.full((b, tmax), -1, jnp.int32)
+    out0 = jnp.zeros((b, tmax), jnp.int32)
     bidx = jnp.arange(b)
 
     # states: 0 = H, 1 = E, 2 = F; done lanes have state 3
     def tb_cond(st):
-        return jnp.any(st[0] < 3) & (st[5] < tmax)
+        return jnp.any(st[0] < 3) & (st[4] < tmax)
 
     def tb_body(st):
-        state, r, j, out_n, out_p, step, out_len = st
-        Hrj = H[bidx, r, j]
-        Erj = E[bidx, r, j]
-        Frj = F[bidx, r, j]
+        state, r, j, out, step, out_len = st
+        Hrj = H[bidx, r, j].astype(jnp.int32)
+        Erj = E[bidx, r, j].astype(jnp.int32)
+        Frj = F[bidx, r, j].astype(jnp.int32)
         pred = preds[bidx, jnp.clip(r - 1, 0, n - 1)]          # [B, P]
         pred_ok = pred >= 0
         pred_idx = jnp.clip(pred, 0, n)
-        Hp_j = H[bidx[:, None], pred_idx, j[:, None]]          # [B, P]
-        Hp_jm1 = H[bidx[:, None], pred_idx, jnp.maximum(j - 1, 0)[:, None]]
-        Fp_j = F[bidx[:, None], pred_idx, j[:, None]]
+        Hp_j = H[bidx[:, None], pred_idx, j[:, None]].astype(jnp.int32)
+        Hp_jm1 = H[bidx[:, None], pred_idx,
+                   jnp.maximum(j - 1, 0)[:, None]].astype(jnp.int32)
+        Fp_j = F[bidx[:, None], pred_idx, j[:, None]].astype(jnp.int32)
         letter = letters[bidx, jnp.clip(r - 1, 0, n - 1)]
         ch = seq[bidx, jnp.clip(j - 1, 0, l - 1)]
         sub = jnp.where(ch == letter, match, mismatch)
@@ -132,7 +150,8 @@ def poa_align_batch(letters, preds, n_nodes, seq, seq_len,
         take_e = in_h & ~stop & ~any_diag & ~take_f & (Hrj == Erj)
 
         in_e = state == 1
-        e_to_h = in_e & (Erj == H[bidx, r, jnp.maximum(j - 1, 0)] + go)
+        e_to_h = in_e & (Erj == H[bidx, r, jnp.maximum(j - 1, 0)]
+                         .astype(jnp.int32) + go)
 
         in_f = state == 2
         f_open = pred_ok & (Hp_j + go == Frj[:, None])
@@ -142,16 +161,16 @@ def poa_align_batch(letters, preds, n_nodes, seq, seq_len,
         f_pred = pred_idx[bidx, first_f]
         f_is_open = f_open[bidx, first_f]
 
-        # emissions
-        emit_node = jnp.where(any_diag | in_f, r - 1, -1)
-        emit_pos = jnp.where(any_diag | in_e, j - 1, -1)
+        # emissions, packed: rank+1 in the high 16 bits (0 = gap in seq),
+        # seq_pos+1 in the low 16 (0 = gap in graph)
+        emit_node = jnp.where(any_diag | in_f, r, 0)       # rank+1 == r
+        emit_pos = jnp.where(any_diag | in_e, j, 0)        # pos+1 == j
         do_emit = (any_diag | take_e | take_f | in_e | in_f) & (state < 3)
         # entering E/F from H emits on the NEXT iteration, not now
         do_emit = do_emit & ~(take_e | take_f)
-        out_n = out_n.at[bidx, jnp.clip(out_len, 0, tmax - 1)].set(
-            jnp.where(do_emit, emit_node, out_n[bidx, jnp.clip(out_len, 0, tmax - 1)]))
-        out_p = out_p.at[bidx, jnp.clip(out_len, 0, tmax - 1)].set(
-            jnp.where(do_emit, emit_pos, out_p[bidx, jnp.clip(out_len, 0, tmax - 1)]))
+        slot = jnp.clip(out_len, 0, tmax - 1)
+        out = out.at[bidx, slot].set(
+            jnp.where(do_emit, (emit_node << 16) | emit_pos, out[bidx, slot]))
         out_len = out_len + do_emit.astype(jnp.int32)
 
         # transitions
@@ -167,14 +186,14 @@ def poa_align_batch(letters, preds, n_nodes, seq, seq_len,
         new_j = jnp.where(in_e, j - 1, new_j)
         new_r = jnp.where(in_f, f_pred, new_r)
         new_state = jnp.where(in_f & f_is_open, 0, new_state)
-        return (new_state, new_r, new_j, out_n, out_p, step + 1, out_len)
+        return (new_state, new_r, new_j, out, step + 1, out_len)
 
     init_state = jnp.where(aligned, 0, 3).astype(jnp.int32)
-    state = (init_state, best_r, best_j, out_nodes0, out_pos0,
-             jnp.int32(0), jnp.zeros(b, jnp.int32))
+    state = (init_state, best_r, best_j, out0, jnp.int32(0),
+             jnp.zeros(b, jnp.int32))
     state = jax.lax.while_loop(tb_cond, tb_body, state)
-    _, _, _, out_n, out_p, _, out_len = state
-    return BatchedAlignment(out_n, out_p, out_len, aligned)
+    _, _, _, out, _, out_len = state
+    return BatchedAlignment(out, out_len, aligned)
 
 
 def alignment_to_host(res: BatchedAlignment, lane: int, rank_nodes,
@@ -187,8 +206,9 @@ def alignment_to_host(res: BatchedAlignment, lane: int, rank_nodes,
     ln = int(res.length[lane])
     if not bool(res.aligned[lane]):
         return [(-1, j) for j in range(seq_len)]
-    nodes = np.asarray(res.nodes[lane, :ln])[::-1]
-    pos = np.asarray(res.pos[lane, :ln])[::-1]
+    pk = np.asarray(res.packed[lane, :ln])[::-1]
+    nodes = (pk >> 16) - 1
+    pos = (pk & 0xFFFF) - 1
     aln = [(int(rank_nodes[rn]) if rn >= 0 else -1, int(sp))
            for rn, sp in zip(nodes, pos)]
     first_j = next((sp for _, sp in aln if sp != -1), 0)
