@@ -139,14 +139,19 @@ def main():
             res = correct_reads(final, creads, CorrectParams(),
                                 pack_runner=tpu_pack_runner)
             correct_s = time.time() - t0
+            from rattle_tpu.correct.tpu_runner import LAST_STATS
             log(f"correct [{backend}]: {correct_s:.2f}s  "
                 f"corrected={len(res.corrected)} "
                 f"uncorrected={len(res.uncorrected)} "
                 f"consensi={len(res.consensi)}  "
-                f"({n_bases / correct_s / 1e6:.2f} Mbases/s)")
+                f"({n_bases / correct_s / 1e6:.2f} Mbases/s)  "
+                f"poa stats={LAST_STATS}")
             extras["correct_s"] = round(correct_s, 2)
             extras["correct_vs_baseline"] = round(BASE_CORRECT_S / correct_s, 3)
             extras["poa_mbases_per_s"] = round(n_bases / correct_s / 1e6, 3)
+            tot = LAST_STATS["device_bases"] + LAST_STATS["host_bases"]
+            extras["poa_device_share"] = round(
+                LAST_STATS["device_bases"] / tot, 3) if tot else None
         except _Timeout:
             log("correct-stage bench exceeded budget; skipped")
             extras["correct_s"] = None

@@ -76,6 +76,10 @@ SCORE_CHUNKS: Tuple[Tuple[int, ...], ...] = ((4096, 2048, 512),
                                              (512, 256, 64))
 PAIR_BUDGET = 1 << 18
 VAR_BAND_REL = 0.02
+# chunk-count allocation buckets for the batched count/score dispatches:
+# two fixed sizes keep compile variants at <=2 per (class, tier) route while
+# the fori_loop's dynamic trip count skips the unused tail
+NC_BUCKETS = (64, 512)
 # sweep-phase column tiling: bounds the gate product at [k_block, SWEEP_TILE]
 # regardless of N (the absorb decision is per-column, so tiles are exact)
 SWEEP_TILE = 1 << 16
@@ -336,7 +340,9 @@ def score_chunks_batched(pairs3d, nc_real, row_ids, col_ids, hs_a, ps_a, nk,
     w, cache_flat, borders = jax.lax.fori_loop(
         0, nc_real, body,
         (w, cache_flat, jnp.zeros((nc, ch), jnp.bool_)))
-    return w, cache_flat, borders
+    # any-flag: borderline pairs are rare, so the host checks this 1-element
+    # fetch before paying for the [NC, CH] transfer (~3 MB/s d2h relay)
+    return w, cache_flat, borders, borders.any()[None]
 
 
 @jax.jit
@@ -702,14 +708,16 @@ class BulkClusterEngine:
                     continue
                 ch = self.count_chunks[cls_i]
                 n_sel = len(sel)
-                n_chunks = _pow2_at_least(-(-n_sel // ch), 1)
+                nc_real = -(-n_sel // ch)
+                n_chunks = NC_BUCKETS[0] if nc_real <= NC_BUCKETS[0] \
+                    else _pow2_at_least(nc_real, NC_BUCKETS[1])
                 arr = np.full((n_chunks * ch, 2), -1, np.int32)
                 arr[:n_sel, 0] = rows_f[sel]
                 arr[:n_sel, 1] = cols_f[sel]
                 hs_a, ps_a, hs_b, ps_b = self._class_tables(cls_i, rev)
                 got3 = count_chunks_batched(
                     jnp.asarray(arr).reshape(n_chunks, ch, 2),
-                    jnp.int32(-(-n_sel // ch)),
+                    jnp.int32(nc_real),
                     d_row_ids, d_col_ids, hs_a, ps_a, hs_b, ps_b, sk.nk,
                     use_merge=self.p.kmer_size <= 15)
                 count_handles.append((sel, n_sel, got3))
@@ -740,15 +748,17 @@ class BulkClusterEngine:
                         continue
                     ch = self.score_chunks[cls_i][tier_i]
                     n_sel = len(sel)
-                    n_chunks = _pow2_at_least(-(-n_sel // ch), 1)
+                    nc_real = -(-n_sel // ch)
+                    n_chunks = NC_BUCKETS[0] if nc_real <= NC_BUCKETS[0] \
+                        else _pow2_at_least(nc_real, NC_BUCKETS[1])
                     arr = np.full((n_chunks * ch, 2), -1, np.int32)
                     arr[:n_sel, 0] = rows_f[sel]
                     arr[:n_sel, 1] = cols_f[sel]
                     arr[n_sel:, 1] = 0
                     hs_a, ps_a, hs_b, ps_b = self._class_tables(cls_i, rev)
-                    w, cache, borders = score_chunks_batched(
+                    w, cache, borders, border_any = score_chunks_batched(
                         jnp.asarray(arr).reshape(n_chunks, ch, 2),
-                        jnp.int32(-(-n_sel // ch)),
+                        jnp.int32(nc_real),
                         d_row_ids, d_col_ids, hs_a, ps_a, sk.nk,
                         hs_b, ps_b, sk.lens, self.score_min,
                         jnp.float32(self.p.t_v),
@@ -756,16 +766,18 @@ class BulkClusterEngine:
                         m_cap, self.p.kmer_size, self.p.hc_max_dist,
                         self.cache_n,
                         use_pallas=self._pallas and m_cap <= 2048)
-                    border_handles.append((rev, borders, arr))
+                    border_handles.append((rev, borders, border_any, arr))
             self._cache[rev] = cache
             _prof(f"score n={int((alive & ~overflow).sum())}", t0, w)
 
         # ---- borderline-variance pairs: exact f64 host rescore ----
         if border_handles:
             t0 = time.time()
-            for rev, b, pc in border_handles:
+            for rev, b, b_any, pc in border_handles:
                 # per-handle fetch: a device-side concat of per-call shape
                 # combos would recompile a trivial kernel every round
+                if not _fetch(b_any)[0]:
+                    continue
                 flags = _fetch(b).reshape(-1)
                 for i in np.nonzero(flags)[0]:
                     r_, c_ = int(pc[i, 0]), int(pc[i, 1])

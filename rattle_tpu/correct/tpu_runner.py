@@ -122,6 +122,12 @@ class _LaneState:
         return True
 
 
+# device-vs-host share of the last batched_msa calls (bench reporting):
+# packs/alignments/bases counted where they actually ran
+LAST_STATS = {"device_packs": 0, "fallback_packs": 0,
+              "device_bases": 0, "host_bases": 0}
+
+
 def batched_msa(all_seqs: List[List[str]], params: poa.POAParams,
                 lanes: int = 0) -> List[List[str]]:
     """MSA for many packs, batching alignments across packs on device.
@@ -208,9 +214,18 @@ def batched_msa(all_seqs: List[List[str]], params: poa.POAParams,
 
         for li, st in zip(group, states):
             if st.fallback:
+                LAST_STATS["fallback_packs"] += 1
+                n_dev = st.next_read
                 while st.next_read < len(st.seqs):
                     s = st.seqs[st.next_read]
                     st.add_alignment(st.align_fallback(s, params), s)
+                LAST_STATS["host_bases"] += sum(
+                    len(s) for s in st.seqs[n_dev:])
+                LAST_STATS["device_bases"] += sum(
+                    len(s) for s in st.seqs[:n_dev])
+            else:
+                LAST_STATS["device_packs"] += 1
+                LAST_STATS["device_bases"] += sum(len(s) for s in st.seqs)
             results[li] = st.msa()
     return results
 

@@ -24,6 +24,19 @@ def _engine(args):
         from ..cluster.oracle import cluster_reads
         return cluster_reads
     from ..cluster.bulk import cluster_reads_bulk
+    n_mesh = getattr(args, "mesh_devices", 0)
+    if n_mesh == 0:  # auto: span every attached device
+        try:
+            import jax
+            n_mesh = len(jax.devices())
+        except Exception:
+            n_mesh = 1
+    if n_mesh > 1:
+        import functools
+        import jax
+        import numpy as np
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:n_mesh]), ("data",))
+        return functools.partial(cluster_reads_bulk, mesh=mesh)
     return cluster_reads_bulk
 
 
@@ -78,6 +91,9 @@ def main(argv=None):
     pc.add_argument("--upper-length", type=int, default=100000)
     pc.add_argument("--oracle", action="store_true",
                     help="use the NumPy oracle engine instead of the TPU path")
+    pc.add_argument("--mesh-devices", type=int, default=0,
+                    help="shard the engine over N devices (0 = all attached "
+                    "devices, 1 = single-device)")
 
     pco = sub.add_parser("correct")
     _add_common_input(pco)
