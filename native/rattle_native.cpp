@@ -152,6 +152,20 @@ static bool poa_tb_ef() {
   }();
   return v;
 }
+static bool poa_egap_ext() {  // E-state: prefer gap-extend over gap-open
+  static const bool v = [] {
+    const char* e = getenv("RATTLE_POA_EGAP");
+    return !(e && std::string(e) == "open");
+  }();
+  return v;
+}
+static bool poa_fgap_ext() {  // F-state: prefer gap-extend over gap-open
+  static const bool v = [] {
+    const char* e = getenv("RATTLE_POA_FGAP");
+    return !(e && std::string(e) == "open");
+  }();
+  return v;
+}
 
 struct PoaGraph {
   std::vector<char> letters;
@@ -425,18 +439,34 @@ void align_local_cpu(const PoaGraph& g, const char* seq, int64_t L, int match,
       break;  // should not happen
     } else if (state == 1) {
       rev.emplace_back(-1, int32_t(j - 1));
-      if (E[r * W + j] == H[r * W + j - 1] + go) state = 0;
+      if (poa_egap_ext()) {
+        if (E[r * W + j] != E[r * W + j - 1] + ge &&
+            E[r * W + j] == H[r * W + j - 1] + go) state = 0;
+      } else if (E[r * W + j] == H[r * W + j - 1] + go) {
+        state = 0;
+      }
       --j;
     } else {
       const int32_t nid = rank_nodes[r - 1];
       rev.emplace_back(nid, -1);
       bool moved = false;
-      for (int32_t pr : pred_rows[r - 1]) {
-        if (F[r * W + j] == H[int64_t(pr) * W + j] + go) {
-          r = pr; state = 0; moved = true; break;
+      if (poa_fgap_ext()) {
+        for (int32_t pr : pred_rows[r - 1]) {
+          if (F[r * W + j] == F[int64_t(pr) * W + j] + ge) {
+            r = pr; moved = true; break;
+          }
+          if (F[r * W + j] == H[int64_t(pr) * W + j] + go) {
+            r = pr; state = 0; moved = true; break;
+          }
         }
-        if (F[r * W + j] == F[int64_t(pr) * W + j] + ge) {
-          r = pr; moved = true; break;
+      } else {
+        for (int32_t pr : pred_rows[r - 1]) {
+          if (F[r * W + j] == H[int64_t(pr) * W + j] + go) {
+            r = pr; state = 0; moved = true; break;
+          }
+          if (F[r * W + j] == F[int64_t(pr) * W + j] + ge) {
+            r = pr; moved = true; break;
+          }
         }
       }
       if (!moved) break;

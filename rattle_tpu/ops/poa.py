@@ -227,7 +227,10 @@ def align_local(graph: POAGraph, seq: str, p: POAParams) -> Alignment:
             raise RuntimeError("traceback stuck in H")
         elif state == "E":
             aln_rev.append((-1, j - 1))
-            if E[r, j] == H[r, j - 1] + p.gap_open:
+            # extend-first: keep the gap running while it can (spoa-like;
+            # docs/CONSENSUS.md sweep), open only when extension can't explain
+            if E[r, j] != E[r, j - 1] + p.gap_extend \
+                    and E[r, j] == H[r, j - 1] + p.gap_open:
                 state = "H"
             j -= 1
         else:  # F
@@ -235,13 +238,13 @@ def align_local(graph: POAGraph, seq: str, p: POAParams) -> Alignment:
             aln_rev.append((nid, -1))
             moved = False
             for pr in pred_rows[r - 1]:
+                if F[r, j] == F[pr, j] + p.gap_extend:
+                    r = pr
+                    moved = True
+                    break
                 if F[r, j] == H[pr, j] + p.gap_open:
                     r = pr
                     state = "H"
-                    moved = True
-                    break
-                if F[r, j] == F[pr, j] + p.gap_extend:
-                    r = pr
                     moved = True
                     break
             if not moved:

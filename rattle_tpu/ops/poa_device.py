@@ -150,8 +150,12 @@ def poa_align_batch(letters, preds, n_nodes, seq, seq_len,
         take_e = in_h & ~stop & ~any_diag & ~take_f & (Hrj == Erj)
 
         in_e = state == 1
-        e_to_h = in_e & (Erj == H[bidx, r, jnp.maximum(j - 1, 0)]
-                         .astype(jnp.int32) + go)
+        # extend-first (matches the host aligner): exit E only when the gap
+        # cannot be explained as an extension
+        e_can_ext = Erj == E[bidx, r, jnp.maximum(j - 1, 0)] \
+            .astype(jnp.int32) + ge
+        e_to_h = in_e & ~e_can_ext & (
+            Erj == H[bidx, r, jnp.maximum(j - 1, 0)].astype(jnp.int32) + go)
 
         in_f = state == 2
         f_open = pred_ok & (Hp_j + go == Frj[:, None])
@@ -159,7 +163,8 @@ def poa_align_batch(letters, preds, n_nodes, seq, seq_len,
         f_any = f_open | f_ext
         first_f = jnp.argmax(f_any, axis=1)
         f_pred = pred_idx[bidx, first_f]
-        f_is_open = f_open[bidx, first_f]
+        # at the chosen predecessor prefer extend over open (host parity)
+        f_is_open = f_open[bidx, first_f] & ~f_ext[bidx, first_f]
 
         # emissions, packed: rank+1 in the high 16 bits (0 = gap in seq),
         # seq_pos+1 in the low 16 (0 = gap in graph)

@@ -20,7 +20,8 @@ SAMPLE = os.path.join(os.path.dirname(__file__), "..", "testdata",
                       "sample.fastq")
 
 # (cluster id, floor): achieved round-3 levels minus a small safety margin
-CASES = [(185, 0.95), (139, 0.92), (308, 0.93), (30, 0.92), (203, 0.91)]
+# (185 and 30 reach containment 1.0 with the extend-first traceback)
+CASES = [(185, 0.98), (139, 0.92), (308, 0.93), (30, 0.98), (203, 0.91)]
 
 
 def kmer_containment(a: str, b: str, k: int = 20) -> float:
