@@ -106,3 +106,43 @@ def test_correct_device_backend(synth_fastq, tmp_path):
         d = {(r.header, r.seq) for r in
              fastx.read_fastq_plain(os.path.join(out_d, name))}
         assert h == d, name
+
+
+def test_cluster_cli_bulk_engine_parity(tmp_path):
+    """The DEFAULT (bulk TPU-engine) CLI path must produce byte-identical
+    clusters.out to --oracle — the e2e guard the round-2 verdict asked for
+    (previously every e2e run passed --oracle)."""
+    import numpy as np
+    from .conftest import make_read, mutate
+    rng = np.random.default_rng(31)
+    refs = [make_read(rng, int(rng.integers(200, 300))) for _ in range(6)]
+    path = tmp_path / "reads.fastq"
+    with open(path, "w") as fh:
+        i = 0
+        for fam, ref in enumerate(refs):
+            for _ in range(10):  # 60 reads: above the bulk-engine cutover
+                s = mutate(rng, ref, err=0.08)
+                fh.write(f"@r{i}_f{fam}\n{s}\n+\n{'I' * len(s)}\n")
+                i += 1
+    out_b = tmp_path / "bulk"
+    out_o = tmp_path / "oracle"
+    out_b.mkdir()
+    out_o.mkdir()
+    assert cli.main(["cluster", "-i", str(path), "-o", str(out_b),
+                     "--rna", "--raw"]) == 0
+    assert cli.main(["cluster", "-i", str(path), "-o", str(out_o),
+                     "--rna", "--raw", "--oracle"]) == 0
+    assert (out_b / "clusters.out").read_bytes() == \
+        (out_o / "clusters.out").read_bytes()
+
+    # --iso through the grouped bulk path must also match oracle-per-cluster
+    out_bi = tmp_path / "bulk_iso"
+    out_oi = tmp_path / "oracle_iso"
+    out_bi.mkdir()
+    out_oi.mkdir()
+    assert cli.main(["cluster", "-i", str(path), "-o", str(out_bi),
+                     "--rna", "--raw", "--iso"]) == 0
+    assert cli.main(["cluster", "-i", str(path), "-o", str(out_oi),
+                     "--rna", "--raw", "--iso", "--oracle"]) == 0
+    assert (out_bi / "clusters.out").read_bytes() == \
+        (out_oi / "clusters.out").read_bytes()
