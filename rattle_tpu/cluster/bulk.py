@@ -20,11 +20,13 @@ This engine replays the exact same decisions in O(N/K) device waves:
 Decisions per pair are identical to cluster.cpp:12-65: MXU bitvector gate
 (cluster.cpp:13-19 as a bf16 matmul), sort-merge common-k-mer join
 (kmer.cpp:45-67), patience LIS + anchor filter (similarity.cpp:4-97), and
-the variance gate (utils.cpp:26-55).  Per-pair work is routed count-first:
-a cheap join_counts pass measures each pair's match count, pairs whose
-k*count cannot reach the score threshold are rejected outright
-(bases <= k * matches), and the rest run the fused LIS kernel at the
-smallest M tier that fits — no speculative re-scoring up a ladder.
+the variance gate (utils.cpp:26-55).  Per-pair work is routed count-first
+with a FUSED first pass: one join both measures each pair's match count and,
+when the matches fit the first M tier (the majority), completes the LIS
+decision in the same kernel — the expensive full-width row gathers feeding
+the join happen once, not twice.  Remaining pairs route by exact count:
+cheap reject (bases <= k * matches), then the smallest M tier that fits —
+no speculative re-scoring up a ladder.
 
 The merge rounds (cluster.cpp:171-256) use the same machinery over cluster
 representatives with the B->b->0 threshold schedule; a device-resident score
@@ -52,8 +54,7 @@ from ..io.hpsio import Cluster, CSeq
 from ..ops import gates
 from ..ops.encode import encode_seq
 from ..ops.sketch_device import DeviceSketch, build_device_sketch
-from ..ops.join_device import (join_counts, merge_join_counts,
-                               merge_join_expand, sorted_join_expand)
+from ..ops.join_device import merge_join_expand, sorted_join_expand
 from ..ops.lis_select import (anchor_filter_select, lis_build_select,
                               lis_reconstruct_select)
 from ..ops.similarity import _variance
@@ -64,15 +65,16 @@ INT32_MAX = 2**31 - 1
 # K classes by pair max-nk: k-mer table slice widths (0 = full kmax,
 # padded to a power of two so the join runs as a bitonic MERGE — the
 # tables are pre-sorted, a log2(W)-stage merge beats a log^2 full sort)
-K_CLASSES: Tuple[int, ...] = (1024, 2048, 0)
+K_CLASSES: Tuple[int, ...] = (1024, 2048, 4096, 0)
 # M tiers: match-list capacities; pairs route to the smallest tier that
 # fits their exact match count (count-first), > last tier -> exact f64
 # native host scorer (rare: 100% of toyset gated pairs fit 2048)
 M_LADDER: Tuple[int, ...] = (128, 512, 2048)
 # static chunk shapes: COUNT_CHUNKS[cls], SCORE_CHUNKS[cls][tier]
-COUNT_CHUNKS: Tuple[int, ...] = (4096, 2048, 512)
+COUNT_CHUNKS: Tuple[int, ...] = (4096, 2048, 1024, 512)
 SCORE_CHUNKS: Tuple[Tuple[int, ...], ...] = ((4096, 2048, 512),
                                              (2048, 1024, 256),
+                                             (1024, 512, 128),
                                              (512, 256, 64))
 PAIR_BUDGET = 1 << 18
 VAR_BAND_REL = 0.02
@@ -190,51 +192,6 @@ def gate_block(plane_rows, bvc_rows, order_rows, group_rows, n_rows,
     return w, packed, total
 
 
-def _count_body(pairs_rc, row_ids, col_ids, hs_a, ps_a, hs_b, ps_b, nk,
-                use_merge: bool):
-    """Match counts for one [CH, 2] chunk of (row, col) block coords."""
-    act = pairs_rc[:, 0] >= 0
-    a_ids = jnp.take(row_ids, jnp.clip(pairs_rc[:, 0], 0))
-    b_ids = jnp.take(col_ids, jnp.clip(pairs_rc[:, 1], 0))
-    ha = jnp.take(hs_a, a_ids, axis=0)
-    hb = jnp.take(hs_b, b_ids, axis=0)
-    nka = jnp.take(nk, a_ids)
-    nkb = jnp.take(nk, b_ids)
-    if use_merge:
-        pa = jnp.take(ps_a, a_ids, axis=0)
-        pb = jnp.take(ps_b, b_ids, axis=0)
-        cnt = merge_join_counts(ha, pa, nka, hb, pb, nkb)
-    else:
-        cnt = join_counts(ha, nka, hb, nkb)
-    return jnp.where(act, cnt, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("use_merge",))
-def count_chunk(pairs_rc, row_ids, col_ids, hs_a, ps_a, hs_b, ps_b, nk,
-                use_merge: bool = True):
-    return _count_body(pairs_rc, row_ids, col_ids, hs_a, ps_a, hs_b, ps_b,
-                       nk, use_merge)
-
-
-@functools.partial(jax.jit, static_argnames=("use_merge",))
-def count_chunks_batched(pairs3d, nc_real, row_ids, col_ids, hs_a, ps_a,
-                         hs_b, ps_b, nk, use_merge: bool = True):
-    """All chunks in ONE dispatch: pairs3d [NC, CH, 2] -> counts [NC, CH].
-
-    The chunk loop is a fori_loop with a DYNAMIC trip count: pairs3d is
-    padded to a pow2 chunk count purely to bound compile variants, but only
-    ``nc_real`` chunks execute.  One executable removes the per-dispatch
-    relay latency that dominated the chunked path (~7 ms x hundreds)."""
-    nc, ch, _ = pairs3d.shape
-
-    def body(ci, out):
-        prc = jax.lax.dynamic_slice(pairs3d, (ci, 0, 0), (1, ch, 2))[0]
-        cnt = _count_body(prc, row_ids, col_ids, hs_a, ps_a, hs_b, ps_b,
-                          nk, use_merge)
-        return jax.lax.dynamic_update_slice(out, cnt[None], (ci, 0))
-
-    return jax.lax.fori_loop(0, nc_real, body,
-                             jnp.zeros((nc, ch), jnp.int32))
 
 
 def _score_body(pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b,
@@ -291,7 +248,7 @@ def _score_body(pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b,
     flat = jnp.where(decided, a_ids * n_pad + b_ids, n_pad * n_pad + 1)
     cache_flat = cache_flat.at[flat].max(
         jnp.where(win, jnp.uint8(2), jnp.uint8(1)), mode="drop")
-    return w, cache_flat, border
+    return w, cache_flat, border, jnp.where(act, total, 0)
 
 
 @functools.partial(jax.jit,
@@ -302,10 +259,11 @@ def score_chunk(pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b,
                 lens, sc_tab, t_v, var_band, strand_val, w, cache_flat,
                 m_cap: int, kmer_size: int, hc_max_dist: int, n_pad: int,
                 use_pallas: bool = False):
-    return _score_body(pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b,
-                       ps_b, lens, sc_tab, t_v, var_band, strand_val, w,
-                       cache_flat, m_cap, kmer_size, hc_max_dist, n_pad,
-                       use_pallas)
+    w, cache_flat, border, _cnt = _score_body(
+        pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b, lens,
+        sc_tab, t_v, var_band, strand_val, w, cache_flat, m_cap, kmer_size,
+        hc_max_dist, n_pad, use_pallas)
+    return w, cache_flat, border
 
 
 @functools.partial(jax.jit,
@@ -329,7 +287,7 @@ def score_chunks_batched(pairs3d, nc_real, row_ids, col_ids, hs_a, ps_a, nk,
     def body(ci, carry):
         w_, cache_, borders_ = carry
         prc = jax.lax.dynamic_slice(pairs3d, (ci, 0, 0), (1, ch, 2))[0]
-        w_, cache_, border = _score_body(
+        w_, cache_, border, _cnt = _score_body(
             prc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b, lens,
             sc_tab, t_v, var_band, strand_val, w_, cache_,
             m_cap, kmer_size, hc_max_dist, n_pad, use_pallas)
@@ -343,6 +301,45 @@ def score_chunks_batched(pairs3d, nc_real, row_ids, col_ids, hs_a, ps_a, nk,
     # any-flag: borderline pairs are rare, so the host checks this 1-element
     # fetch before paying for the [NC, CH] transfer (~3 MB/s d2h relay)
     return w, cache_flat, borders, borders.any()[None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m_cap", "kmer_size", "hc_max_dist",
+                                    "n_pad", "use_pallas"),
+                   donate_argnums=(14, 15))
+def fused0_chunks_batched(pairs3d, nc_real, row_ids, col_ids, hs_a, ps_a,
+                          nk, hs_b, ps_b, lens, sc_tab, t_v, var_band,
+                          strand_val, w, cache_flat, m_cap: int,
+                          kmer_size: int, hc_max_dist: int, n_pad: int,
+                          use_pallas: bool = False):
+    """Fused COUNT + tier-0 DECISION pass.
+
+    One join per pair does double duty: its exact match count routes the
+    pair (returned [NC, CH] counts), and when the matches fit the first M
+    tier the full LIS decision happens right here — for the (majority)
+    tier-0 pairs this halves the dominant cost of the score path, the
+    full-table-width row gathers feeding the join, by never joining twice.
+    Pairs with count > m_cap stay undecided (w/cache untouched) and are
+    routed by the host to the larger tiers."""
+    nc, ch, _ = pairs3d.shape
+
+    def body(ci, carry):
+        w_, cache_, borders_, counts_ = carry
+        prc = jax.lax.dynamic_slice(pairs3d, (ci, 0, 0), (1, ch, 2))[0]
+        w_, cache_, border, cnt = _score_body(
+            prc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b, lens,
+            sc_tab, t_v, var_band, strand_val, w_, cache_,
+            m_cap, kmer_size, hc_max_dist, n_pad, use_pallas)
+        borders_ = jax.lax.dynamic_update_slice(borders_, border[None],
+                                                (ci, 0))
+        counts_ = jax.lax.dynamic_update_slice(counts_, cnt[None], (ci, 0))
+        return w_, cache_, borders_, counts_
+
+    w, cache_flat, borders, counts = jax.lax.fori_loop(
+        0, nc_real, body,
+        (w, cache_flat, jnp.zeros((nc, ch), jnp.bool_),
+         jnp.zeros((nc, ch), jnp.int32)))
+    return w, cache_flat, borders, borders.any()[None], counts
 
 
 @jax.jit
@@ -651,6 +648,7 @@ class BulkClusterEngine:
         strands = [False] if self.p.is_rna else [False, True]
         host_jobs: List[Tuple[bool, int, int, int, int]] = []
         border_handles: List[Tuple[bool, object, np.ndarray]] = []
+        border_any_acc = jnp.zeros((1,), jnp.bool_)
         row_ids_h = row_ids.astype(np.int64)
         col_ids_h = col_ids.astype(np.int64)
 
@@ -692,7 +690,10 @@ class BulkClusterEngine:
             if len(rows_f) == 0:
                 continue
 
-            # ---- count pass (exact match counts, class-split widths) ----
+            # ---- fused count + tier-0 decision pass (one join does both:
+            # the count routes the pair AND, when it fits the first M tier,
+            # the LIS decision lands right here — no second join/gather for
+            # the majority of pairs) ----
             t0 = time.time()
             ra = row_ids_h[rows_f]
             rb = col_ids_h[cols_f]
@@ -700,8 +701,10 @@ class BulkClusterEngine:
             bounds = list(self.class_bounds) + [1 << 30]
             cls_of = np.searchsorted(np.asarray(bounds), pair_nk,
                                      side="left")
+            m0 = self.m_ladder[0]
             counts = np.zeros(len(rows_f), np.int32)
             count_handles = []
+            cache = self._cache[rev]
             for cls_i in range(self.n_classes):
                 sel = np.nonzero(cls_of == cls_i)[0]
                 if len(sel) == 0:
@@ -714,22 +717,30 @@ class BulkClusterEngine:
                 arr = np.full((n_chunks * ch, 2), -1, np.int32)
                 arr[:n_sel, 0] = rows_f[sel]
                 arr[:n_sel, 1] = cols_f[sel]
+                arr[n_sel:, 1] = 0
                 hs_a, ps_a, hs_b, ps_b = self._class_tables(cls_i, rev)
-                got3 = count_chunks_batched(
+                w, cache, borders, border_any, cnt3 = fused0_chunks_batched(
                     jnp.asarray(arr).reshape(n_chunks, ch, 2),
                     jnp.int32(nc_real),
-                    d_row_ids, d_col_ids, hs_a, ps_a, hs_b, ps_b, sk.nk,
-                    use_merge=self.p.kmer_size <= 15)
-                count_handles.append((sel, n_sel, got3))
+                    d_row_ids, d_col_ids, hs_a, ps_a, sk.nk,
+                    hs_b, ps_b, sk.lens, self.score_min,
+                    jnp.float32(self.p.t_v), jnp.float32(self.var_band),
+                    val, w, cache, m0, self.p.kmer_size,
+                    self.p.hc_max_dist, self.cache_n,
+                    use_pallas=self._pallas)
+                border_handles.append((rev, borders, arr))
+                border_any_acc = jnp.logical_or(border_any_acc, border_any)
+                count_handles.append((sel, n_sel, cnt3))
             for sel, n_sel, got3 in count_handles:
                 counts[sel] = _fetch(got3).reshape(-1)[:n_sel]
-            _prof(f"counts n={len(rows_f)}", t0)
+            _prof(f"fused0 n={len(rows_f)}", t0)
 
-            # ---- route: cheap reject, M tiers, host overflow ----
+            # ---- route the remainder: cheap reject, M tiers, overflow ----
             mn = np.minimum(self.lens_host[ra], self.lens_host[rb])
             min_num = self.score_min_host[mn]
             # bases <= k * llis <= k * matches: definite lose, no LIS needed
             alive = self.p.kmer_size * counts.astype(np.int64) >= min_num
+            rest = counts > m0  # tier-0 pairs were decided in the fused pass
             overflow = counts > self.m_ladder[-1]
             for i in np.nonzero(alive & overflow)[0]:
                 host_jobs.append((rev, int(ra[i]), int(rb[i]),
@@ -739,11 +750,12 @@ class BulkClusterEngine:
 
             # ---- score pass: ONE dispatch per (class, tier) route ----
             t0 = time.time()
-            cache = self._cache[rev]
             for cls_i in range(self.n_classes):
                 for tier_i, m_cap in enumerate(self.m_ladder):
+                    if tier_i == 0:
+                        continue  # decided in the fused pass
                     sel = np.nonzero((cls_of == cls_i) & (tier_of == tier_i)
-                                     & alive & ~overflow)[0]
+                                     & alive & rest & ~overflow)[0]
                     if len(sel) == 0:
                         continue
                     ch = self.score_chunks[cls_i][tier_i]
@@ -766,18 +778,18 @@ class BulkClusterEngine:
                         m_cap, self.p.kmer_size, self.p.hc_max_dist,
                         self.cache_n,
                         use_pallas=self._pallas and m_cap <= 2048)
-                    border_handles.append((rev, borders, border_any, arr))
+                    border_handles.append((rev, borders, arr))
+                    border_any_acc = jnp.logical_or(border_any_acc,
+                                                    border_any)
             self._cache[rev] = cache
             _prof(f"score n={int((alive & ~overflow).sum())}", t0, w)
 
         # ---- borderline-variance pairs: exact f64 host rescore ----
-        if border_handles:
+        if border_handles and bool(_fetch(border_any_acc)[0]):
             t0 = time.time()
-            for rev, b, b_any, pc in border_handles:
+            for rev, b, pc in border_handles:
                 # per-handle fetch: a device-side concat of per-call shape
                 # combos would recompile a trivial kernel every round
-                if not _fetch(b_any)[0]:
-                    continue
                 flags = _fetch(b).reshape(-1)
                 for i in np.nonzero(flags)[0]:
                     r_, c_ = int(pc[i, 0]), int(pc[i, 1])
