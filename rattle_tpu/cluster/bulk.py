@@ -481,6 +481,7 @@ class BulkClusterEngine:
         self.nk_host = sk.nk_host
         self.lens_host = sk.lens_host
         self.progress = False  # --verbose progress bar (utils.cpp:57-75)
+        self.checkpoint = None  # utils.checkpoint.ClusterCheckpoint or None
         # group constraint (--iso batching): reads in different groups are
         # never compared; default one global group
         self.groups = np.zeros(self.n, np.int32) if groups is None \
@@ -869,20 +870,33 @@ class BulkClusterEngine:
 
     def cluster(self) -> List[Cluster]:
         p = self.p
-        order = np.arange(self.n)
-
-        t0 = time.time()
-        groups = self._greedy_pass(order, p.bv_threshold)
-        self.phase_times["greedy"] = time.time() - t0
+        ck = self.checkpoint
+        schedule = list(bv_threshold_schedule(p))
+        phases_done = 0
         clusters: List[Cluster] = []
-        for _seed, members in groups:
-            cseqs = [CSeq(m_, r_) for m_, r_ in members]
-            main = oracle.get_main_seq(cseqs, self.read_lens,
-                                       p.repr_percentile)
-            clusters.append(Cluster(main, cseqs))
+        if ck is not None:
+            resume = ck.load()
+            if resume is not None:
+                phases_done, clusters = resume
+
+        if phases_done == 0:
+            order = np.arange(self.n)
+            t0 = time.time()
+            groups = self._greedy_pass(order, p.bv_threshold)
+            self.phase_times["greedy"] = time.time() - t0
+            for _seed, members in groups:
+                cseqs = [CSeq(m_, r_) for m_, r_ in members]
+                main = oracle.get_main_seq(cseqs, self.read_lens,
+                                           p.repr_percentile)
+                clusters.append(Cluster(main, cseqs))
+            phases_done = 1
+            if ck is not None:
+                ck.record(phases_done, clusters)
 
         t0 = time.time()
-        for threshold in bv_threshold_schedule(p):
+        for round_i, threshold in enumerate(schedule):
+            if round_i + 1 < phases_done:
+                continue  # merge round already checkpointed
             reps = np.array([c.main_seq.seq_id for c in clusters])
             merge_groups = self._greedy_pass(reps, threshold)
             tmp: List[Cluster] = []
@@ -897,6 +911,9 @@ class BulkClusterEngine:
                     merged.seqs, self.read_lens, p.repr_percentile)
                 tmp.append(merged)
             clusters = tmp
+            phases_done = round_i + 2
+            if ck is not None:
+                ck.record(phases_done, clusters)
         self.phase_times["merge"] = time.time() - t0
         return clusters
 
@@ -906,7 +923,8 @@ ORACLE_CUTOVER = 48
 
 def cluster_reads_bulk(seqs: Sequence[str], params: ClusterParams,
                        progress: bool = False, mesh=None,
-                       groups: Optional[np.ndarray] = None) -> List[Cluster]:
+                       groups: Optional[np.ndarray] = None,
+                       checkpoint_dir: Optional[str] = None) -> List[Cluster]:
     """Engine entry point for pipeline.run_cluster.
 
     ``groups``: optional per-read group ids.  Reads in different groups are
@@ -929,4 +947,25 @@ def cluster_reads_bulk(seqs: Sequence[str], params: ClusterParams,
         return out
     engine = BulkClusterEngine(seqs, params, mesh=mesh, groups=groups)
     engine.progress = progress
-    return engine.cluster()
+    if checkpoint_dir is not None:
+        # phase-granular resume (utils/checkpoint.py ClusterCheckpoint);
+        # the key guards against reusing a manifest after the inputs or
+        # params changed: full length vector + a 64-read content sample
+        import dataclasses
+        import hashlib
+        h = hashlib.sha256(
+            np.asarray([len(s) for s in seqs], np.int64).tobytes())
+        for i in range(0, len(seqs), max(1, len(seqs) // 64)):
+            h.update(seqs[i].encode())
+        if groups is not None:
+            h.update(np.asarray(groups, np.int64).tobytes())
+        from ..utils.checkpoint import ClusterCheckpoint, params_key
+        key = params_key(params=dataclasses.asdict(params), n=len(seqs),
+                         digest=h.hexdigest())
+        engine.checkpoint = ClusterCheckpoint(checkpoint_dir, key)
+    out = engine.cluster()
+    if engine.checkpoint is not None:
+        # the returned clusters become the stage artifact immediately; the
+        # manifest's job (surviving a crash mid-stage) is done
+        engine.checkpoint.finalize()
+    return out

@@ -23,7 +23,12 @@ def _engine(args):
     if getattr(args, "oracle", False):
         from ..cluster.oracle import cluster_reads
         return cluster_reads
+    import functools
     from ..cluster.bulk import cluster_reads_bulk
+    ckdir = getattr(args, "checkpoint_dir", None)
+    if ckdir is not None and getattr(args, "mode", None) == "cluster":
+        cluster_reads_bulk = functools.partial(
+            cluster_reads_bulk, checkpoint_dir=ckdir)
     n_mesh = getattr(args, "mesh_devices", 0)
     if n_mesh == 0:  # auto: span every attached device
         try:
@@ -94,6 +99,10 @@ def main(argv=None):
     pc.add_argument("--mesh-devices", type=int, default=0,
                     help="shard the engine over N devices (0 = all attached "
                     "devices, 1 = single-device)")
+    pc.add_argument("--checkpoint-dir", default=None,
+                    help="phase-granular resume manifest dir (greedy pass + "
+                    "each merge round; bulk engine only — new capability, "
+                    "the reference restarts the whole stage on a crash)")
 
     pco = sub.add_parser("correct")
     _add_common_input(pco)

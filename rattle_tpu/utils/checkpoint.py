@@ -151,6 +151,66 @@ class CorrectCheckpoint:
             pass
 
 
+class ClusterCheckpoint:
+    """Phase-granular checkpoint for the clustering stage.
+
+    New capability vs the reference, whose only recovery seam is the
+    finished clusters.out (main.cpp:275; SURVEY §5): a crash mid-cluster on
+    a 1M-read run loses the whole stage.  Phases: the greedy seeding pass,
+    then one per merge round of the B->b->0 threshold schedule
+    (cluster.cpp:124-256).  After each phase the full cluster state (over
+    LOCAL length-sorted indices) is written atomically in the hps wire
+    format, so a resumed run replays only the remaining merge rounds and is
+    byte-identical to an uninterrupted one (every phase is a deterministic
+    function of its input state).
+    """
+
+    def __init__(self, directory: str, params_key: str):
+        self.dir = directory
+        self.params_key = params_key
+        self.manifest_path = os.path.join(directory, "cluster_manifest.json")
+        self.state_path = os.path.join(directory, "cluster_state.hps")
+
+    def load(self) -> Optional[Tuple[int, list]]:
+        """-> (phases_done, clusters) or None if absent/stale/mismatched."""
+        if not os.path.exists(self.manifest_path):
+            return None
+        try:
+            with open(self.manifest_path) as fh:
+                manifest = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None
+        if manifest.get("params_key") != self.params_key:
+            return None
+        try:
+            from ..io.hpsio import read_clusters
+            clusters = read_clusters(self.state_path)
+        except (OSError, ValueError, EOFError):
+            return None
+        return int(manifest["phases_done"]), clusters
+
+    def record(self, phases_done: int, clusters) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        from ..io.hpsio import write_clusters
+        tmp = self.state_path + ".tmp"
+        write_clusters(clusters, tmp)
+        os.replace(tmp, self.state_path)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"params_key": self.params_key,
+                       "phases_done": phases_done}, fh)
+        os.replace(tmp, self.manifest_path)
+
+    def finalize(self) -> None:
+        for path in (self.manifest_path, self.state_path):
+            if os.path.exists(path):
+                os.remove(path)
+        try:
+            os.rmdir(self.dir)
+        except OSError:
+            pass
+
+
 def params_key(**kwargs) -> str:
     """Stable digest of stage parameters for checkpoint compatibility."""
     import hashlib

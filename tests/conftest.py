@@ -31,6 +31,13 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    # informational budget marker (no pytest-timeout plugin in this image;
+    # tests that use it also enforce their own subprocess-level timeouts)
+    config.addinivalue_line(
+        "markers", "timeout(seconds): per-test wall-clock budget")
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)

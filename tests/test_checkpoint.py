@@ -109,3 +109,88 @@ def test_process_shard_bounds():
         covered.extend(range(s, e))
         assert e - s in (12, 13)
     assert covered == list(range(n))
+
+
+# ---------------- cluster-stage checkpoint (ClusterCheckpoint) ----------------
+
+
+def _cluster_seqs(rng, n_fams=5, per_fam=14):
+    from tests.conftest import make_read, mutate
+    seqs = []
+    for fam in range(n_fams):
+        ref = make_read(rng, int(rng.integers(220, 340)))
+        for _ in range(per_fam):
+            seqs.append(mutate(rng, ref, 0.08))
+    seqs.sort(key=len, reverse=True)
+    return seqs
+
+
+def test_cluster_checkpoint_resume_identical(tmp_path):
+    """A run killed after the greedy phase resumes from the manifest, replays
+    only the merge rounds, and produces the identical cluster set."""
+    from rattle_tpu.cluster.bulk import BulkClusterEngine, cluster_reads_bulk
+    from rattle_tpu.config import bv_threshold_schedule
+
+    rng = np.random.default_rng(7)
+    seqs = _cluster_seqs(rng)
+    params = ClusterParams(is_rna=False)
+    d = str(tmp_path / "ck")
+
+    full = cluster_reads_bulk(seqs, params, checkpoint_dir=d)
+    import os
+    assert not os.path.exists(d)  # finalize removed the manifest
+
+    # crash simulation: stop right after the greedy-phase record
+    class _Crash(RuntimeError):
+        pass
+
+    from rattle_tpu.utils import checkpoint as ckmod
+    orig_record = ckmod.ClusterCheckpoint.record
+
+    def crashing_record(self, phases_done, clusters):
+        orig_record(self, phases_done, clusters)
+        if phases_done == 1:
+            raise _Crash()
+
+    ckmod.ClusterCheckpoint.record = crashing_record
+    try:
+        try:
+            cluster_reads_bulk(seqs, params, checkpoint_dir=d)
+            raise AssertionError("crash did not fire")
+        except _Crash:
+            pass
+    finally:
+        ckmod.ClusterCheckpoint.record = orig_record
+    assert os.path.exists(d)  # manifest survived the crash
+
+    # resumed run must skip the greedy pass (merge rounds only) and agree
+    calls = []
+    orig_pass = BulkClusterEngine._greedy_pass
+
+    def counting_pass(self, ids, threshold):
+        calls.append(threshold)
+        return orig_pass(self, ids, threshold)
+
+    BulkClusterEngine._greedy_pass = counting_pass
+    try:
+        resumed = cluster_reads_bulk(seqs, params, checkpoint_dir=d)
+    finally:
+        BulkClusterEngine._greedy_pass = orig_pass
+    assert calls == bv_threshold_schedule(params)  # no greedy-phase pass
+    sig = lambda cs: [(c.main_seq.seq_id, c.main_seq.rev,
+                       [(s.seq_id, s.rev) for s in c.seqs]) for c in cs]
+    assert sig(resumed) == sig(full)
+    assert not os.path.exists(d)
+
+
+def test_cluster_checkpoint_stale_params_discarded(tmp_path):
+    from rattle_tpu.utils.checkpoint import ClusterCheckpoint
+    from rattle_tpu.io.hpsio import Cluster, CSeq
+
+    d = str(tmp_path / "ck")
+    ck = ClusterCheckpoint(d, "key-a")
+    ck.record(1, [Cluster(CSeq(0, False), [CSeq(0, False), CSeq(1, True)])])
+    got = ClusterCheckpoint(d, "key-a").load()
+    assert got is not None and got[0] == 1
+    assert got[1][0].seqs[1].seq_id == 1 and got[1][0].seqs[1].rev
+    assert ClusterCheckpoint(d, "key-b").load() is None
