@@ -27,8 +27,11 @@ PMAX = 8          # predecessor cap per node; overflow -> oracle fallback
 LANES = 8         # minimum packs in flight per device call
 MAX_LANES = 128
 # device-memory budget for the H/E/F DP arrays (bytes); lanes per group are
-# sized to fill it — small packs (the common case) run 64-128 wide
-HBM_BUDGET = int(4.0 * 2**30)
+# sized to fill it — small packs (the common case) run 64-128 wide.
+# Real program HBM runs ~1.5x this figure (the packed traceback is a 4th
+# array the same size as H/E/F, plus ~10% tile padding and loop
+# double-buffer temps), so keep a wide margin below the 15.75 G v5e HBM.
+HBM_BUDGET = int(1.0 * 2**30)
 RANK_CAP = 32767  # packed traceback stores rank+1 in 16 bits
 
 
@@ -155,11 +158,21 @@ def batched_msa(all_seqs: List[List[str]], params: poa.POAParams,
         l_cap = _round_pow2(lmax0 + 1, 128)
         n_lanes = lanes or _lanes_for(
             _round_pow2(min(4 * lmax0 + 64, 3 * l_cap), 256), l_cap)
-        group = queue[:n_lanes]
+        # the group's LARGEST pack sets the array shapes, but n_lanes above
+        # was sized from its smallest (queue is sorted ascending) — shrink
+        # until the real caps fit the budget, or a 128-lane group straddling
+        # a size boundary compiles to several times the intended memory
+        while True:
+            group = queue[:n_lanes]
+            lmax = max(max((len(s) for s in all_seqs[i]), default=1)
+                       for i in group)
+            l_cap = _round_pow2(lmax + 1, 128)
+            n_cap = _round_pow2(min(4 * lmax + 64, 3 * l_cap), 256)
+            if lanes or n_lanes <= LANES \
+                    or _lanes_for(n_cap, l_cap) >= n_lanes:
+                break
+            n_lanes //= 2
         queue = queue[n_lanes:]
-        lmax = max(max((len(s) for s in all_seqs[i]), default=1) for i in group)
-        l_cap = _round_pow2(lmax + 1, 128)
-        n_cap = _round_pow2(min(4 * lmax + 64, 3 * l_cap), 256)
         states = [_LaneState(all_seqs[i], n_cap, l_cap) for i in group]
         if n_cap > RANK_CAP:
             # packed traceback can't address these ranks; host-align the
