@@ -131,13 +131,19 @@ namespace {
 // Defaults are the containment-sweep winners (docs/CONSENSUS.md): DFS topo
 // order, F-before-E traceback, first-maximum cell.  Override with
 // RATTLE_POA_TOPO=kahn, RATTLE_POA_MAX=last, RATTLE_POA_TB=EF.
-static bool poa_topo_dfs() {
-  static const bool v = [] {
+// 0 = dfs (spoa-flavoured re-rank), 1 = kahn, 2 = incr (insertion-maintained
+// order, matching the single-dispatch TPU pack engine; ops/poa.py).
+static int poa_topo_mode() {
+  static const int v = [] {
     const char* e = getenv("RATTLE_POA_TOPO");
-    return !(e && std::string(e) == "kahn");
+    if (e && std::string(e) == "kahn") return 1;
+    if (e && std::string(e) == "dfs") return 0;
+    if (e && std::string(e) == "incr") return 2;
+    return 0;
   }();
   return v;
 }
+static bool poa_topo_dfs() { return poa_topo_mode() == 0; }
 static bool poa_max_last() {
   static const bool v = [] {
     const char* e = getenv("RATTLE_POA_MAX");
@@ -173,13 +179,47 @@ struct PoaGraph {
   std::vector<std::vector<int32_t>> out_edges;
   std::vector<std::vector<int32_t>> aligned;
   std::vector<std::vector<int32_t>> paths;
+  // incremental group order (ops/poa.py add_alignment): leaders in column
+  // order + per-node leader + leader -> position (-1 while unplaced)
+  std::vector<int32_t> grp_order;
+  std::vector<int32_t> grp_leader;
+  std::vector<int32_t> grp_pos;
 
   int32_t add_node(char ch) {
     letters.push_back(ch);
     in_edges.emplace_back();
     out_edges.emplace_back();
     aligned.emplace_back();
+    grp_leader.push_back(int32_t(letters.size()) - 1);
+    grp_pos.push_back(-1);
     return int32_t(letters.size()) - 1;
+  }
+
+  void renumber_from(size_t from) {
+    for (size_t i = from; i < grp_order.size(); ++i)
+      grp_pos[grp_order[i]] = int32_t(i);
+  }
+
+  // incremental order (validity argument in ops/poa.py add_alignment)
+  void topo_incr(std::vector<int32_t>* rank_nodes,
+                 std::vector<int32_t>* group_of_node,
+                 std::vector<int32_t>* col_of_node) const {
+    const int32_t n = int32_t(letters.size());
+    rank_nodes->clear();
+    if (group_of_node) group_of_node->assign(n, -1);
+    if (col_of_node) col_of_node->assign(n, -1);
+    int32_t col = 0;
+    for (int32_t leader : grp_order) {
+      rank_nodes->push_back(leader);
+      if (group_of_node) (*group_of_node)[leader] = col;
+      if (col_of_node) (*col_of_node)[leader] = col;
+      for (int32_t al : aligned[leader]) {
+        rank_nodes->push_back(al);
+        if (group_of_node) (*group_of_node)[al] = col;
+        if (col_of_node) (*col_of_node)[al] = col;
+      }
+      ++col;
+    }
   }
 
   void add_edge(int32_t a, int32_t b) {
@@ -249,6 +289,8 @@ struct PoaGraph {
   void topo(std::vector<int32_t>* rank_nodes,
             std::vector<int32_t>* group_of_node,
             std::vector<int32_t>* col_of_node) const {
+    if (poa_topo_mode() == 2)
+      return topo_incr(rank_nodes, group_of_node, col_of_node);
     if (poa_topo_dfs()) return topo_dfs(rank_nodes, group_of_node, col_of_node);
     const int32_t n = int32_t(letters.size());
     std::vector<int32_t> group_of(n, -1);
@@ -315,14 +357,17 @@ struct PoaGraph {
       aln_nodes = nullptr;
     }
     const int64_t total = aln_len == 0 ? seq_len : aln_len;
+    std::vector<int32_t> pending;  // new leaders awaiting placement
     for (int64_t t = 0; t < total; ++t) {
       const int32_t nid = aln_nodes ? aln_nodes[t] : fallback[t].first;
       const int32_t spos = aln_nodes ? aln_pos[t] : fallback[t].second;
       if (spos == -1) continue;
       const char ch = seq[spos];
       int32_t target;
+      bool new_group = false;
       if (nid == -1) {
         target = add_node(ch);
+        new_group = true;
       } else if (letters[nid] == ch) {
         target = nid;
       } else {
@@ -334,12 +379,27 @@ struct PoaGraph {
           std::vector<int32_t> group(aligned[nid]);
           group.insert(group.begin(), nid);
           aligned[target] = group;
+          grp_leader[target] = grp_leader[nid];
           for (int32_t m : group) aligned[m].push_back(target);
         }
+      }
+      if (new_group) {
+        pending.push_back(target);
+      } else if (!pending.empty()) {
+        const int32_t at = grp_pos[grp_leader[target]];
+        grp_order.insert(grp_order.begin() + at, pending.begin(),
+                         pending.end());
+        renumber_from(size_t(at));
+        pending.clear();
       }
       if (prev != -1 && prev != target) add_edge(prev, target);
       prev = target;
       path.push_back(target);
+    }
+    if (!pending.empty()) {
+      const size_t at = grp_order.size();
+      grp_order.insert(grp_order.end(), pending.begin(), pending.end());
+      renumber_from(at);
     }
     paths.push_back(std::move(path));
   }

@@ -27,12 +27,23 @@ which is also what makes the TPU wavefront kernel efficient.
 from __future__ import annotations
 
 import heapq
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 NEG = -(2**30)
+
+
+def poa_order_mode() -> str:
+    """Topological-order flavor: "incr" (default; insertion-maintained group
+    order, what the single-dispatch TPU runner computes on device) or "dfs"
+    (spoa-flavoured DFS re-rank per alignment, round-3 semantics).  Both are
+    valid group-consecutive topological orders; they differ only in which
+    co-optimal alignment the DP tie-breaks pick.  Toyset containment vs the
+    spoa goldens measured for both in docs/CONSENSUS.md."""
+    return os.environ.get("RATTLE_POA_TOPO", "dfs")
 
 
 @dataclass
@@ -46,6 +57,14 @@ class POAGraph:
     out_edges: List[List[int]] = field(default_factory=list)
     aligned: List[List[int]] = field(default_factory=list)    # other group members
     paths: List[List[int]] = field(default_factory=list)      # per added sequence
+    # incremental group order ("incr" mode): group leaders (= creating node)
+    # in column order, maintained by add_alignment.  Validity: every edge
+    # a->b is only ever added when a directed path a->..->b already exists
+    # (traceback rows only move to predecessors), so inserting each new
+    # group right after its path-predecessor's group preserves a valid
+    # group-consecutive topological order without any re-sort.
+    grp_order: List[int] = field(default_factory=list)
+    grp_leader: List[int] = field(default_factory=list)       # node -> leader
 
     def n_nodes(self) -> int:
         return len(self.letters)
@@ -55,6 +74,7 @@ class POAGraph:
         self.in_edges.append([])
         self.out_edges.append([])
         self.aligned.append([])
+        self.grp_leader.append(len(self.letters) - 1)
         return len(self.letters) - 1
 
     def add_edge(self, a: int, b: int) -> None:
@@ -67,9 +87,26 @@ class POAGraph:
     # ---- topological order over aligned groups ----
 
     def topo_groups(self) -> Tuple[List[int], List[List[int]]]:
-        """Returns (group_of_node, groups_in_rank_order).
+        """Returns (group_of_node, groups_in_rank_order); flavor per
+        poa_order_mode()."""
+        if poa_order_mode() == "incr":
+            return self.topo_groups_incr()
+        return self.topo_groups_dfs()
 
-        Iterative DFS in spoa's style: roots are visited in node-id order,
+    def topo_groups_incr(self) -> Tuple[List[int], List[List[int]]]:
+        """Insertion-maintained order (see grp_order)."""
+        group_of = [-1] * self.n_nodes()
+        order: List[List[int]] = []
+        for leader in self.grp_order:
+            members = [leader] + list(self.aligned[leader])
+            gid = len(order)
+            order.append(members)
+            for m in members:
+                group_of[m] = gid
+        return group_of, order
+
+    def topo_groups_dfs(self) -> Tuple[List[int], List[List[int]]]:
+        """Iterative DFS in spoa's style: roots are visited in node-id order,
         a node pushes its unvisited predecessors (then its unvisited aligned
         members) and becomes valid once all of them are emitted; the first
         member of an aligned group reached by the DFS is the group leader
@@ -259,17 +296,34 @@ def align_local(graph: POAGraph, seq: str, p: POAParams) -> Alignment:
 
 
 def add_alignment(graph: POAGraph, aln: Alignment, seq: str) -> None:
-    """Thread ``seq`` into the graph along ``aln``; records the node path."""
+    """Thread ``seq`` into the graph along ``aln``; records the node path.
+
+    Also maintains the incremental group order: each run of brand-new groups
+    is inserted, in path order, immediately BEFORE the next placed group the
+    path touches (runs with no later placed target go at the end).  This is
+    where the spoa-style DFS emits them too — a new chain node is the last
+    unfinished predecessor of its successor, so the DFS pops it right before
+    emitting the successor — which keeps the DP tie-break behavior close to
+    the DFS re-rank while staying O(1) dispatches on device."""
     path: List[int] = []
     prev: Optional[int] = None
+    pos_of = {g: i for i, g in enumerate(graph.grp_order)}
+
+    def reindex() -> None:
+        pos_of.clear()
+        pos_of.update({g: i for i, g in enumerate(graph.grp_order)})
+
+    pending: List[int] = []  # new leaders not yet placed (leading run)
     if not aln:  # empty graph: fresh chain
         aln = [(-1, j) for j in range(len(seq))]
     for nid, spos in aln:
         if spos == -1:
             continue  # gap in sequence: no node consumed
         ch = seq[spos]
+        new_group = False
         if nid == -1:
             target = graph.add_node(ch)
+            new_group = True
         else:
             if graph.letters[nid] == ch:
                 target = nid
@@ -283,12 +337,23 @@ def add_alignment(graph: POAGraph, aln: Alignment, seq: str) -> None:
                     target = graph.add_node(ch)
                     group = [nid] + list(graph.aligned[nid])
                     graph.aligned[target] = list(group)
+                    graph.grp_leader[target] = graph.grp_leader[nid]
                     for m in group:
                         graph.aligned[m].append(target)
+        if new_group:
+            pending.append(target)
+        elif pending:
+            # flush the leading run right before this placed group
+            at = pos_of[graph.grp_leader[target]]
+            graph.grp_order[at:at] = pending
+            reindex()
+            pending = []
         if prev is not None and prev != target:
             graph.add_edge(prev, target)
         prev = target
         path.append(target)
+    if pending:  # whole read unaligned: chain goes at the end
+        graph.grp_order.extend(pending)
     graph.paths.append(path)
 
 
