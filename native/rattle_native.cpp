@@ -139,7 +139,7 @@ static int poa_topo_mode() {
     if (e && std::string(e) == "kahn") return 1;
     if (e && std::string(e) == "dfs") return 0;
     if (e && std::string(e) == "incr") return 2;
-    return 0;
+    return 2;
   }();
   return v;
 }

@@ -1,0 +1,368 @@
+"""Device-resident POA pack engine: the whole per-pack read loop runs on
+device, one dispatch per read step, with NO graph state crossing the
+host-device boundary until the final MSA download.
+
+Round-3's runner (correct/tpu_runner.py) re-uploaded every pack's full
+predecessor table every read step and re-ranked on the host — ~0.24 s of
+transfer + dispatch per step, ~1,500 s extrapolated for the toyset.  Here
+the graph lives on device in node-id space and every step is:
+
+    rank-space meta build (gathers)  ->  pallas DP+traceback kernel
+      ->  vectorized alignment threading (scatters; all conflict-free)
+      ->  incremental re-rank (key assignment + one stable argsort)
+
+The threading vectorizes because one read's path touches each group at
+most once (ranks strictly increase along the path and groups are
+rank-consecutive), so letter lookups, group joins, edge inserts and member
+appends are independent scatters.  The incremental group order is the
+``RATTLE_POA_TOPO=incr`` semantics of ops/poa.py: every run of brand-new
+groups sorts immediately before the next placed group on the path (key =
+next_placed_pos * SK + run_index), runs with no later placed target go at
+the end.
+
+Lanes that overflow capacity (nodes > N, predecessors > 8, group > 8
+members, reads longer than W-1) fall back to the host native aligner for
+the whole pack — identical semantics by construction.
+
+Reference behavior: correct.cpp:377-478 (spoa keeps graphs in-core; this
+is the TPU equivalent).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.poa_pallas import W, META_W, PMAX, poa_align_pallas
+
+GA = 8                     # aligned-group member cap (distinct letters)
+BIG = np.int32(2**30)
+SK = 2048                  # key stride: > W (max run length) * 2
+HALF = SK - 1
+
+
+def _cfg_for(lmax: int, n_reads: int, total: int):
+    """(n_cap, r_cap, tot_cap) buckets; None if the pack cannot run on
+    device (read too long)."""
+    if lmax > W - 2:
+        return None
+    n_est = 4 * lmax + 64
+    n_cap = 512
+    while n_cap < min(n_est, 2048):
+        n_cap *= 2
+    r_cap = 32 if n_reads <= 32 else 256
+    tot_cap = 8192
+    while tot_cap < total + r_cap:
+        tot_cap *= 2
+    return (n_cap, r_cap, tot_cap)
+
+
+def _take(arr, idx):
+    """take_along_axis over axis 1 with arbitrary trailing idx dims."""
+    b = arr.shape[0]
+    flat = jnp.take_along_axis(
+        arr, idx.reshape(b, -1).astype(jnp.int32), axis=1)
+    return flat.reshape(idx.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("n_cap", "r_cap", "tot_cap"))
+def _init_state(seqs, lens, n_reads, n_cap, r_cap, tot_cap):
+    b = seqs.shape[0]
+    n = n_cap
+    offsets = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32),
+         jnp.cumsum(lens, axis=1, dtype=jnp.int32)[:, :-1]], axis=1)
+    return dict(
+        seqs=seqs, lens=lens, n_reads=n_reads, offsets=offsets,
+        letters=jnp.zeros((b, n), jnp.int32),
+        npred=jnp.zeros((b, n), jnp.int32),
+        preds=jnp.full((b, n, PMAX), -1, jnp.int32),
+        n_nodes=jnp.zeros((b,), jnp.int32),
+        grp_leader=jnp.zeros((b, n), jnp.int32),
+        member_idx=jnp.zeros((b, n), jnp.int32),
+        grp_size=jnp.zeros((b, n), jnp.int32),
+        members=jnp.full((b, n, GA), -1, jnp.int32),
+        grp_pos=jnp.zeros((b, n), jnp.int32),
+        n_groups=jnp.zeros((b,), jnp.int32),
+        node_rank=jnp.zeros((b, n), jnp.int32),
+        perm=jnp.zeros((b, n), jnp.int32),
+        path=jnp.zeros((b, tot_cap), jnp.int32),
+        fallback=jnp.zeros((b,), jnp.bool_),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("match", "mismatch", "go", "ge"))
+def _step(st, t, match=5, mismatch=-4, go=-8, ge=-6):
+    seqs, lens = st["seqs"], st["lens"]
+    letters, npred, preds = st["letters"], st["npred"], st["preds"]
+    n_nodes = st["n_nodes"]
+    grp_leader, member_idx = st["grp_leader"], st["member_idx"]
+    grp_size, members, grp_pos = st["grp_size"], st["members"], st["grp_pos"]
+    n_groups, node_rank, perm = st["n_groups"], st["node_rank"], st["perm"]
+    path, fallback = st["path"], st["fallback"]
+
+    b, n = letters.shape
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    iota_n = jnp.arange(n, dtype=jnp.int32)[None, :]
+    iota_w = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    active = (t < st["n_reads"]) & ~fallback
+    seq = jax.lax.dynamic_index_in_dim(seqs, t, axis=1, keepdims=False)
+    seq = seq.astype(jnp.int32)                       # [B, W] char at p
+    slen = jax.lax.dynamic_index_in_dim(lens, t, axis=1, keepdims=False)
+
+    # ---- rank-space meta for the kernel ----
+    perm_c = jnp.clip(perm, 0, n - 1)
+    letters_r = _take(letters, perm_c)
+    npred_r = _take(npred, perm_c)
+    preds_n = _take(preds.reshape(b, -1),
+                    (perm_c[:, :, None] * PMAX
+                     + jnp.arange(PMAX, dtype=jnp.int32)[None, None, :]))
+    pr_rank = jnp.where(
+        preds_n >= 0, _take(node_rank, jnp.clip(preds_n, 0, n - 1)) + 1, 0)
+    meta = jnp.concatenate(
+        [pr_rank, letters_r[:, :, None], jnp.maximum(npred_r, 1)[:, :, None],
+         jnp.zeros((b, n, META_W - PMAX - 2), jnp.int32)],
+        axis=2).astype(jnp.int16)
+    seq_sh = jnp.pad(seq[:, :W - 1], ((0, 0), (1, 0)))
+    seq_sh = seq_sh.reshape(b, 8, 128)
+
+    packed, tlen, best = poa_align_pallas(
+        meta, n_nodes, seq_sh, slen, active.astype(jnp.int32),
+        match=match, mismatch=mismatch, go=go, ge=ge)
+    aligned = (best > 0) & (n_nodes > 0)
+
+    # ---- decode: per-base matched rank -> node ----
+    tmax = packed.shape[1]
+    iota_t = jnp.arange(tmax, dtype=jnp.int32)[None, :]
+    pos = (packed & 0xFFFF) - 1
+    rk = (packed >> 16) - 1
+    val = (iota_t < tlen[:, None]) & (pos >= 0) & aligned[:, None]
+    m_rank = jnp.full((b, W), -1, jnp.int32).at[
+        bidx, jnp.where(val, pos, W)].set(rk, mode="drop")
+    m_node = jnp.where(m_rank >= 0, _take(perm_c, jnp.clip(m_rank, 0, n - 1)),
+                       -1)
+
+    basevalid = iota_w < slen[:, None]
+    m_letter = _take(letters, jnp.clip(m_node, 0, n - 1))
+    direct = (m_node >= 0) & (m_letter == seq)
+    leader = _take(grp_leader, jnp.clip(m_node, 0, n - 1))
+    gsz = _take(grp_size, jnp.clip(leader, 0, n - 1))
+    mem = _take(members.reshape(b, -1),
+                jnp.clip(leader, 0, n - 1)[:, :, None] * GA
+                + jnp.arange(GA, dtype=jnp.int32)[None, None, :])
+    mem_letters = _take(letters, jnp.clip(mem, 0, n - 1))
+    iota_g = jnp.arange(GA, dtype=jnp.int32)[None, None, :]
+    mem_ok = (iota_g < gsz[:, :, None]) & (mem_letters == seq[:, :, None]) \
+        & (mem >= 0)
+    has_mem = mem_ok.any(axis=2) & (m_node >= 0) & ~direct
+    join_node = jnp.take_along_axis(
+        mem, jnp.argmax(mem_ok, axis=2)[:, :, None], axis=2)[:, :, 0]
+    matched = jnp.where(direct, m_node, jnp.where(has_mem, join_node, -1))
+    isnew = basevalid & (matched < 0)
+    new_cnt = jnp.cumsum(isnew, axis=1, dtype=jnp.int32)
+    new_id = n_nodes[:, None] + new_cnt - 1
+    target = jnp.where(isnew, new_id, matched)
+    target = jnp.where(basevalid, target, -1)
+    purenew = isnew & (m_node < 0)
+    joiner = isnew & (m_node >= 0)
+
+    n_new = new_cnt[:, -1]
+    overflow_nodes = n_nodes + n_new > n
+
+    ok = active & ~overflow_nodes
+    wmask = basevalid & ok[:, None]
+
+    # ---- apply threading (conflict-free scatters; OOB index N drops) ----
+    t_or_n = jnp.where(wmask & isnew, target, n)
+    letters = letters.at[bidx, t_or_n].set(seq, mode="drop")
+    lead_new = jnp.where(purenew, target, leader)
+    grp_leader = grp_leader.at[bidx, t_or_n].set(lead_new, mode="drop")
+    member_idx = member_idx.at[bidx, t_or_n].set(
+        jnp.where(purenew, 0, gsz), mode="drop")
+    p_or_n = jnp.where(wmask & purenew, target, n)
+    grp_size = grp_size.at[bidx, p_or_n].set(1, mode="drop")
+    members = members.at[bidx, p_or_n, 0].set(target, mode="drop")
+    j_or_n = jnp.where(wmask & joiner, leader, n)
+    grp_overflow = (wmask & joiner & (gsz >= GA)).any(axis=1)
+    members = members.at[bidx, j_or_n, jnp.clip(gsz, 0, GA - 1)].set(
+        jnp.where(gsz < GA, target, -1), mode="drop")
+    grp_size = grp_size.at[bidx, j_or_n].add(1, mode="drop")
+
+    prevt = jnp.pad(target[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    em = wmask & (iota_w >= 1) & (prevt >= 0) & (prevt != target)
+    tgt_c = jnp.clip(target, 0, n - 1)
+    tpred = _take(preds.reshape(b, -1),
+                  tgt_c[:, :, None] * PMAX
+                  + jnp.arange(PMAX, dtype=jnp.int32)[None, None, :])
+    npr_t = _take(npred, tgt_c)
+    iota_p = jnp.arange(PMAX, dtype=jnp.int32)[None, None, :]
+    exists = ((tpred == prevt[:, :, None])
+              & (iota_p < npr_t[:, :, None])).any(axis=2)
+    add = em & ~exists
+    pred_overflow = (add & (npr_t >= PMAX)).any(axis=1)
+    a_or_n = jnp.where(add, target, n)
+    preds = preds.at[bidx, a_or_n, jnp.clip(npr_t, 0, PMAX - 1)].set(
+        jnp.where(npr_t < PMAX, prevt, -1), mode="drop")
+    npred = npred.at[bidx, a_or_n].add(1, mode="drop")
+
+    off_t = jax.lax.dynamic_index_in_dim(st["offsets"], t, axis=1,
+                                         keepdims=False)
+    tot = path.shape[1]
+    pidx = jnp.where(wmask, off_t[:, None] + iota_w, tot)
+    path = path.at[bidx, pidx].set(target, mode="drop")
+
+    # ---- incremental re-rank ----
+    lead_all = jnp.where(purenew, target, leader)
+    lead_all = jnp.where(isnew, lead_all,
+                         _take(grp_leader, jnp.clip(matched, 0, n - 1)))
+    placed = wmask & ~purenew
+    gpos_t = _take(grp_pos, jnp.clip(lead_all, 0, n - 1))
+    gmark = jnp.where(placed, gpos_t, BIG)
+    gnext = jnp.flip(jax.lax.cummin(jnp.flip(gmark, axis=1), axis=1), axis=1)
+    gnextf = jnp.where(gnext >= BIG, n_groups[:, None], gnext)
+    lastp = jax.lax.cummax(jnp.where(placed, iota_w, -1), axis=1)
+    run_idx = iota_w - lastp - 1
+    key_new = gnextf * SK + jnp.clip(run_idx, 0, HALF - 1)
+
+    n_nodes_old = n_nodes
+    is_leader = (grp_leader == iota_n)
+    keys = jnp.where(is_leader & (iota_n < n_nodes_old[:, None]),
+                     grp_pos * SK + HALF, BIG)
+    keys = keys.at[bidx, p_or_n].set(key_new, mode="drop")
+
+    order = jnp.argsort(keys, axis=1, stable=True).astype(jnp.int32)
+    n_groups_new = jnp.where(ok, n_groups + (purenew & wmask).sum(axis=1),
+                             n_groups)
+    n_nodes_new = jnp.where(ok, n_nodes + jnp.where(ok, n_new, 0), n_nodes)
+    live_pos = iota_n < n_groups_new[:, None]
+    grp_pos = grp_pos.at[bidx, jnp.where(live_pos, order, n)].set(
+        iota_n + jnp.zeros_like(order), mode="drop")
+    sz_sorted = jnp.where(live_pos, _take(grp_size, order), 0)
+    starts = jnp.cumsum(sz_sorted, axis=1, dtype=jnp.int32) - sz_sorted
+    posn = _take(grp_pos, jnp.clip(grp_leader, 0, n - 1))
+    rank_new = _take(starts, jnp.clip(posn, 0, n - 1)) + member_idx
+    valid_node = iota_n < n_nodes_new[:, None]
+    node_rank = jnp.where(valid_node, rank_new, n)
+    perm = perm.at[bidx, jnp.where(valid_node, node_rank, n)].set(
+        iota_n + jnp.zeros_like(node_rank), mode="drop")
+    fallback = fallback | (active & (overflow_nodes | pred_overflow
+                                     | grp_overflow))
+
+    st.update(letters=letters, npred=npred, preds=preds,
+              n_nodes=n_nodes_new, grp_leader=grp_leader,
+              member_idx=member_idx, grp_size=grp_size, members=members,
+              grp_pos=grp_pos, n_groups=n_groups_new, node_rank=node_rank,
+              perm=perm, path=path, fallback=fallback)
+    return st
+
+
+@jax.jit
+def _finalize(st):
+    path, grp_leader, grp_pos = st["path"], st["grp_leader"], st["grp_pos"]
+    b, n = grp_leader.shape
+    lead = _take(grp_leader, jnp.clip(path, 0, n - 1))
+    cols = _take(grp_pos, jnp.clip(lead, 0, n - 1))
+    return (cols.astype(jnp.int16), st["n_groups"], st["n_nodes"],
+            st["fallback"])
+
+
+class PackEngine:
+    """Groups packs into lane batches and runs them through the device."""
+
+    def __init__(self, max_lanes: int = 256):
+        self.max_lanes = max_lanes
+        self.stats = {"device_packs": 0, "fallback_packs": 0,
+                      "device_bases": 0, "host_bases": 0, "steps": 0}
+
+    def msa_many(self, all_seqs: List[List[str]], match: int = 5,
+                 mismatch: int = -4, go: int = -8,
+                 ge: int = -6) -> List[Optional[list]]:
+        """Returns per pack: list of gap-padded MSA rows, or None when the
+        pack must be handled by the host fallback."""
+        results: List[Optional[list]] = [None] * len(all_seqs)
+        jobs = []
+        for i, seqs in enumerate(all_seqs):
+            if not seqs:
+                results[i] = []
+                continue
+            lmax = max(len(s) for s in seqs)
+            total = sum(len(s) for s in seqs)
+            cfg = _cfg_for(lmax, len(seqs), total)
+            if cfg is None:
+                self.stats["fallback_packs"] += 1
+                self.stats["host_bases"] += total
+                continue
+            jobs.append((cfg, total, i))
+
+        jobs.sort()
+        groups = []
+        cur = []
+        for cfg, total, i in jobs:
+            if cur and (cfg != cur[0][0] or len(cur) >= self._lanes(cfg)):
+                groups.append(cur)
+                cur = []
+            cur.append(((cfg, total, i)))
+        if cur:
+            groups.append(cur)
+
+        for group in groups:
+            self._run_group(group, all_seqs, results,
+                            (match, mismatch, go, ge))
+        return results
+
+    def _lanes(self, cfg) -> int:
+        n_cap, r_cap, tot_cap = cfg
+        per_lane = r_cap * W + tot_cap * 4 + n_cap * 64
+        budget = 512 * 2**20
+        return int(min(self.max_lanes, max(8, budget // per_lane)))
+
+    def _run_group(self, group, all_seqs, results, params):
+        (n_cap, r_cap, tot_cap), _, _ = group[0]
+        ids = [i for _, _, i in group]
+        b = len(ids)
+        seqs_arr = np.zeros((b, r_cap, W), np.int8)
+        lens = np.zeros((b, r_cap), np.int32)
+        n_reads = np.zeros((b,), np.int32)
+        for li, i in enumerate(ids):
+            for t, s in enumerate(all_seqs[i]):
+                raw = np.frombuffer(s.encode("ascii"), np.uint8)
+                seqs_arr[li, t, :len(raw)] = raw
+                lens[li, t] = len(raw)
+            n_reads[li] = len(all_seqs[i])
+
+        st = _init_state(jnp.asarray(seqs_arr), jnp.asarray(lens),
+                         jnp.asarray(n_reads), n_cap=n_cap, r_cap=r_cap,
+                         tot_cap=tot_cap)
+        max_reads = int(n_reads.max())
+        match, mismatch, go, ge = params
+        for t in range(max_reads):
+            st = _step(st, jnp.int32(t), match=match, mismatch=mismatch,
+                       go=go, ge=ge)
+        self.stats["steps"] += max_reads
+        cols, n_groups, n_nodes, fb = (np.asarray(x) for x in _finalize(st))
+
+        for li, i in enumerate(ids):
+            if fb[li]:
+                self.stats["fallback_packs"] += 1
+                self.stats["host_bases"] += int(lens[li].sum())
+                continue
+            self.stats["device_packs"] += 1
+            self.stats["device_bases"] += int(lens[li].sum())
+            ncols = int(n_groups[li])
+            rows = []
+            off = 0
+            for t in range(int(n_reads[li])):
+                ln = int(lens[li, t])
+                row = np.full(ncols, ord("-"), np.uint8)
+                row[cols[li, off:off + ln]] = \
+                    seqs_arr[li, t, :ln].astype(np.uint8)
+                rows.append(row.tobytes().decode("ascii"))
+                off += ln
+            results[i] = rows

@@ -131,21 +131,41 @@ LAST_STATS = {"device_packs": 0, "fallback_packs": 0,
               "device_bases": 0, "host_bases": 0}
 
 
+_PACK_ENGINE = None
+
+
+def _host_msa(seqs: List[str], params: poa.POAParams) -> List[str]:
+    st = _LaneState(seqs, n_cap=1 << 30, l_cap=1 << 30)
+    for s in seqs:
+        st.add_alignment(st.align_fallback(s, params), s)
+    return st.msa()
+
+
 def batched_msa(all_seqs: List[List[str]], params: poa.POAParams,
                 lanes: int = 0) -> List[List[str]]:
-    """MSA for many packs, batching alignments across packs on device.
-
-    Set RATTLE_POA_BACKEND=native to run the native C++ aligner on the host
-    instead (identical results; useful without a TPU attached)."""
+    """MSA for many packs on the device pack engine (correct/pack_engine.py:
+    the whole per-pack read loop runs on device, one dispatch per read
+    step).  Set RATTLE_POA_BACKEND=native to run the native C++ aligner on
+    the host instead (identical semantics), or RATTLE_POA_BACKEND=lockstep
+    for the round-3 per-step-upload runner (kept for comparison)."""
     import os
-    if os.environ.get("RATTLE_POA_BACKEND") == "native":
-        out: List[List[str]] = []
-        for seqs in all_seqs:
-            st = _LaneState(seqs, n_cap=1 << 30, l_cap=1 << 30)
-            for s in seqs:
-                st.add_alignment(st.align_fallback(s, params), s)
-            out.append(st.msa())
-        return out
+    backend = os.environ.get("RATTLE_POA_BACKEND")
+    if backend == "native":
+        return [_host_msa(seqs, params) for seqs in all_seqs]
+    if backend != "lockstep":
+        from .pack_engine import PackEngine
+        global _PACK_ENGINE
+        if _PACK_ENGINE is None:
+            _PACK_ENGINE = PackEngine()
+        eng = _PACK_ENGINE
+        results = eng.msa_many(
+            all_seqs, match=params.match, mismatch=params.mismatch,
+            go=params.gap_open, ge=params.gap_extend)
+        for i, r in enumerate(results):
+            if r is None:
+                results[i] = _host_msa(all_seqs[i], params)
+        LAST_STATS.update({k: eng.stats[k] for k in LAST_STATS})
+        return results
     results: List[List[str]] = [None] * len(all_seqs)  # type: ignore
 
     # order packs by size so lanes in a group have similar shapes

@@ -43,7 +43,7 @@ def poa_order_mode() -> str:
     valid group-consecutive topological orders; they differ only in which
     co-optimal alignment the DP tie-breaks pick.  Toyset containment vs the
     spoa goldens measured for both in docs/CONSENSUS.md."""
-    return os.environ.get("RATTLE_POA_TOPO", "dfs")
+    return os.environ.get("RATTLE_POA_TOPO", "incr")
 
 
 @dataclass
