@@ -195,7 +195,18 @@ def correct_reads(clusters: ClusterSet, reads: ReadSet, p: CorrectParams,
             Read(f"{gid},{len(pack.reads)},{label_result}", consensus, "+",
                  "K" * len(consensus)))
 
-    # sequential per-cluster consensus pass (correct.cpp:488-556)
+    # sequential per-cluster consensus pass (correct.cpp:488-556).  The
+    # multi-pack POAs batch through the pack runner's device engine when
+    # one is active (reference path correct.cpp:519-543 runs them on spoa
+    # like everything else).
+    multi = [cid for cid in range(len(clusters)) if len(consensi[cid]) > 1]
+    batch_fn = getattr(pack_runner, "batch_msa", None)
+    if multi and batch_fn is not None:
+        multi_msas = dict(zip(multi, batch_fn(
+            [[r.seq for r in consensi[cid]] for cid in multi], p)))
+    else:
+        multi_msas = {cid: msa_fn([r.seq for r in consensi[cid]])
+                      for cid in multi}
     for cid in range(len(clusters)):
         packs_c = consensi[cid]
         total_reads = 0
@@ -221,7 +232,7 @@ def correct_reads(clusters: ClusterSet, reads: ReadSet, p: CorrectParams,
             f"{label}:{label_counts[i]}," for i, label in enumerate(labels))
 
         if len(packs_c) > 1:
-            msa = msa_fn([r.seq for r in packs_c])
+            msa = multi_msas[cid]
             fix_msa_ends(packs_c, msa)
             cv = generate_consensus_vector(packs_c, msa)
             consensus = cv.consensus_string()

@@ -38,28 +38,32 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.poa_pallas import W, META_W, PMAX, poa_align_pallas
+from ..ops.poa_pallas import META_W, PMAX, poa_align_pallas
 
 GA = 8                     # aligned-group member cap (distinct letters)
 BIG = np.int32(2**30)
-SK = 2048                  # key stride: > W (max run length) * 2
+SK = 4096                  # key stride: > W (max run length) * 2
 HALF = SK - 1
+# (max read len + 1, graph node cap, lane cap) per column-width config;
+# the kernel streams DP rows through HBM so n_cap is an HBM budget, not a
+# VMEM one
+CONFIGS = ((1024, 4096, 64), (2048, 8192, 16))
 
 
 def _cfg_for(lmax: int, n_reads: int, total: int):
-    """(n_cap, r_cap, tot_cap) buckets; None if the pack cannot run on
-    device (read too long)."""
-    if lmax > W - 2:
+    """(w, n_cap, r_cap, tot_cap) buckets; None if the pack cannot run
+    on device (read too long)."""
+    for w, n_cap, _lanes in CONFIGS:
+        if lmax <= w - 2:
+            break
+    else:
         return None
-    n_est = 4 * lmax + 64
-    n_cap = 512
-    while n_cap < min(n_est, 2048):
-        n_cap *= 2
     r_cap = 32 if n_reads <= 32 else 256
-    tot_cap = 8192
-    while tot_cap < total + r_cap:
-        tot_cap *= 2
-    return (n_cap, r_cap, tot_cap)
+    # two tot buckets per (w, r_cap): every distinct shape costs a ~30 s
+    # remote compile in this environment, so the bucket space stays tiny
+    small = r_cap * w // 8
+    tot_cap = small if total + r_cap <= small else r_cap * w
+    return (w, n_cap, r_cap, tot_cap)
 
 
 def _take(arr, idx):
@@ -108,9 +112,10 @@ def _step(st, t, match=5, mismatch=-4, go=-8, ge=-6):
     path, fallback = st["path"], st["fallback"]
 
     b, n = letters.shape
+    w = seqs.shape[2]
     bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
     iota_n = jnp.arange(n, dtype=jnp.int32)[None, :]
-    iota_w = jnp.arange(W, dtype=jnp.int32)[None, :]
+    iota_w = jnp.arange(w, dtype=jnp.int32)[None, :]
 
     active = (t < st["n_reads"]) & ~fallback
     seq = jax.lax.dynamic_index_in_dim(seqs, t, axis=1, keepdims=False)
@@ -130,8 +135,8 @@ def _step(st, t, match=5, mismatch=-4, go=-8, ge=-6):
         [pr_rank, letters_r[:, :, None], jnp.maximum(npred_r, 1)[:, :, None],
          jnp.zeros((b, n, META_W - PMAX - 2), jnp.int32)],
         axis=2).astype(jnp.int16)
-    seq_sh = jnp.pad(seq[:, :W - 1], ((0, 0), (1, 0)))
-    seq_sh = seq_sh.reshape(b, 8, 128)
+    seq_sh = jnp.pad(seq[:, :w - 1], ((0, 0), (1, 0)))
+    seq_sh = seq_sh.reshape(b, w // 128, 128)
 
     packed, tlen, best = poa_align_pallas(
         meta, n_nodes, seq_sh, slen, active.astype(jnp.int32),
@@ -144,8 +149,8 @@ def _step(st, t, match=5, mismatch=-4, go=-8, ge=-6):
     pos = (packed & 0xFFFF) - 1
     rk = (packed >> 16) - 1
     val = (iota_t < tlen[:, None]) & (pos >= 0) & aligned[:, None]
-    m_rank = jnp.full((b, W), -1, jnp.int32).at[
-        bidx, jnp.where(val, pos, W)].set(rk, mode="drop")
+    m_rank = jnp.full((b, w), -1, jnp.int32).at[
+        bidx, jnp.where(val, pos, w)].set(rk, mode="drop")
     m_node = jnp.where(m_rank >= 0, _take(perm_c, jnp.clip(m_rank, 0, n - 1)),
                        -1)
 
@@ -308,7 +313,7 @@ class PackEngine:
             if cur and (cfg != cur[0][0] or len(cur) >= self._lanes(cfg)):
                 groups.append(cur)
                 cur = []
-            cur.append(((cfg, total, i)))
+            cur.append((cfg, total, i))
         if cur:
             groups.append(cur)
 
@@ -318,16 +323,17 @@ class PackEngine:
         return results
 
     def _lanes(self, cfg) -> int:
-        n_cap, r_cap, tot_cap = cfg
-        per_lane = r_cap * W + tot_cap * 4 + n_cap * 64
-        budget = 512 * 2**20
-        return int(min(self.max_lanes, max(8, budget // per_lane)))
+        w = cfg[0]
+        for cw, _n, lanes in CONFIGS:
+            if cw == w:
+                return min(self.max_lanes, lanes)
+        return 8
 
     def _run_group(self, group, all_seqs, results, params):
-        (n_cap, r_cap, tot_cap), _, _ = group[0]
+        (w, n_cap, r_cap, tot_cap), _, _ = group[0]
         ids = [i for _, _, i in group]
         b = len(ids)
-        seqs_arr = np.zeros((b, r_cap, W), np.int8)
+        seqs_arr = np.zeros((b, r_cap, w), np.int8)
         lens = np.zeros((b, r_cap), np.int32)
         n_reads = np.zeros((b,), np.int32)
         for li, i in enumerate(ids):

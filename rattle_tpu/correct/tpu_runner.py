@@ -263,6 +263,13 @@ def batched_msa(all_seqs: List[List[str]], params: poa.POAParams,
     return results
 
 
+def _batch_msa(all_seqs: List[List[str]], p: CorrectParams):
+    """Device-batched MSAs for the driver's final-consensus pass."""
+    params = poa.POAParams(p.poa_match, p.poa_mismatch, p.poa_gap_open,
+                           p.poa_gap_extend)
+    return batched_msa(all_seqs, params)
+
+
 def tpu_pack_runner(packs, p: CorrectParams, msa_fn):
     """pack_runner hook for correct_reads: two-round correction with
     device-batched MSAs across packs."""
@@ -287,3 +294,6 @@ def tpu_pack_runner(packs, p: CorrectParams, msa_fn):
         cv = generate_consensus_vector(second, msa2)
         outcomes.append((corrected, uncorrected, cv.consensus_string()))
     return outcomes
+
+
+tpu_pack_runner.batch_msa = _batch_msa

@@ -168,8 +168,13 @@ class ClusterCheckpoint:
     def __init__(self, directory: str, params_key: str):
         self.dir = directory
         self.params_key = params_key
-        self.manifest_path = os.path.join(directory, "cluster_manifest.json")
-        self.state_path = os.path.join(directory, "cluster_state.hps")
+        # namespace the files by params_key: the --iso mode runs the gene
+        # and transcript passes through one directory, and shared fixed
+        # names made them clobber each other's checkpoints
+        self.manifest_path = os.path.join(
+            directory, f"cluster_manifest.{params_key}.json")
+        self._state_fmt = os.path.join(
+            directory, "cluster_state.%s." + params_key + ".hps")
 
     def load(self) -> Optional[Tuple[int, list]]:
         """-> (phases_done, clusters) or None if absent/stale/mismatched."""
@@ -178,31 +183,46 @@ class ClusterCheckpoint:
         try:
             with open(self.manifest_path) as fh:
                 manifest = json.load(fh)
-        except (OSError, json.JSONDecodeError):
-            return None
-        if manifest.get("params_key") != self.params_key:
+            if manifest.get("params_key") != self.params_key:
+                return None
+            phases_done = int(manifest["phases_done"])
+            state_path = self._state_fmt % int(manifest["phase_file"])
+        except (OSError, json.JSONDecodeError, KeyError, TypeError,
+                ValueError):
             return None
         try:
             from ..io.hpsio import read_clusters
-            clusters = read_clusters(self.state_path)
+            clusters = read_clusters(state_path)
         except (OSError, ValueError, EOFError):
             return None
-        return int(manifest["phases_done"]), clusters
+        return phases_done, clusters
 
     def record(self, phases_done: int, clusters) -> None:
+        # crash-atomic pairing: the state goes to a phase-numbered file and
+        # the manifest -- replaced last -- names it, so a crash between the
+        # two replaces leaves the old manifest pointing at the old state
+        # (merge rounds are not idempotent, so replaying round N on round-N
+        # output would silently diverge)
         os.makedirs(self.dir, exist_ok=True)
         from ..io.hpsio import write_clusters
-        tmp = self.state_path + ".tmp"
+        state_path = self._state_fmt % phases_done
+        tmp = state_path + ".tmp"
         write_clusters(clusters, tmp)
-        os.replace(tmp, self.state_path)
+        os.replace(tmp, state_path)
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"params_key": self.params_key,
-                       "phases_done": phases_done}, fh)
+                       "phases_done": phases_done,
+                       "phase_file": phases_done}, fh)
         os.replace(tmp, self.manifest_path)
+        stale = self._state_fmt % (phases_done - 1)
+        if os.path.exists(stale):
+            os.remove(stale)
 
     def finalize(self) -> None:
-        for path in (self.manifest_path, self.state_path):
+        import glob
+        for path in [self.manifest_path] + glob.glob(
+                self._state_fmt % "*"):
             if os.path.exists(path):
                 os.remove(path)
         try:
