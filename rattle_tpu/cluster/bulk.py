@@ -105,11 +105,20 @@ def _prof(label: str, t_start, sync_on=None):
 
 
 def _fetch(x) -> np.ndarray:
-    """Device fetch that never transfers rank-0 (see _prof note)."""
+    """Device fetch that never transfers rank-0 (see _prof note).
+
+    Multi-controller: outputs sharded over a multi-process mesh are not
+    fully addressable; allgather them so every host sees the same global
+    value and replays the greedy sweep identically (DESIGN.md)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(x)
 
 
 def _fetch_scalar(x) -> int:
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return int(_fetch(x).ravel()[0])
     return int(np.asarray(jnp.ravel(x)[:1])[0])
 
 

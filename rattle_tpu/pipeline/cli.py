@@ -70,6 +70,15 @@ def _pack_runner(backend: str):
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    # multi-host launch contract (SURVEY §5 distributed backend): when
+    # RATTLE_COORDINATOR/RATTLE_NUM_PROCESSES/RATTLE_PROCESS_ID are set by
+    # the job launcher, join the multi-controller mesh before any jax use;
+    # --mesh-devices' auto mode then spans the GLOBAL device set, sharding
+    # the read tables across all hosts' chips.  Every host parses the same
+    # inputs (global-index contract of main.cpp:27,47) and computes
+    # identical outputs; only process 0 writes them.
+    from ..parallel.launch import init_distributed
+    distributed = init_distributed()
     top = argparse.ArgumentParser(prog="rattle-tpu")
     sub = top.add_subparsers(dest="mode", required=True)
 
@@ -177,7 +186,9 @@ def main(argv=None):
         kind = "isoform" if args.iso else "gene"
         print(f"{kind} clustering done", file=sys.stderr)
         print(f"{len(clusters)} {kind} clusters found", file=sys.stderr)
-        hpsio.write_clusters(clusters, os.path.join(args.output, "clusters.out"))
+        if not distributed or __import__("jax").process_index() == 0:
+            hpsio.write_clusters(clusters,
+                                 os.path.join(args.output, "clusters.out"))
         return 0
 
     if mode == "correct":

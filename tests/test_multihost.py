@@ -98,3 +98,88 @@ def test_two_process_launch(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert f"WORKER_OK {pid}" in out
+
+
+ENGINE_WORKER = r"""
+import os, sys, random
+import numpy as np
+sys.path.insert(0, os.environ["RATTLE_REPO"])
+import jax
+from rattle_tpu.parallel import launch
+
+assert launch.init_distributed()
+pid = jax.process_index()
+assert jax.process_count() == 2
+
+# deterministic synthetic reads (identical on both hosts; the reference's
+# global-index contract assigns ids before any sharding, main.cpp:27,47)
+random.seed(42)
+def mutate(base, n):
+    s = list(base)
+    for _ in range(n):
+        op = random.random(); i = random.randrange(len(s))
+        if op < 0.4: s[i] = random.choice("ACGT")
+        elif op < 0.7: s.insert(i, random.choice("ACGT"))
+        elif len(s) > 2: del s[i]
+    return "".join(s)
+fams = ["".join(random.choice("ACGT") for _ in range(random.randint(150, 240)))
+        for _ in range(8)]
+seqs = [mutate(fams[i % 8], random.randint(0, 12)) for i in range(96)]
+seqs.sort(key=len, reverse=True)
+
+from rattle_tpu.cluster.bulk import BulkClusterEngine
+from rattle_tpu.config import ClusterParams
+params = ClusterParams(is_rna=True)
+
+# the PRODUCTION engine over the global 4-device, 2-process mesh
+mesh = launch.global_data_mesh()
+clusters_mesh = BulkClusterEngine(seqs, params, mesh=mesh).cluster()
+
+# reference: same engine without a mesh (plain local arrays)
+clusters_local = BulkClusterEngine(seqs, params).cluster()
+
+sig = lambda cs: [(c.main_seq.seq_id,
+                   [(s.seq_id, s.rev) for s in c.seqs]) for c in cs]
+assert sig(clusters_mesh) == sig(clusters_local), (
+    pid, len(clusters_mesh), len(clusters_local))
+print(f"ENGINE_OK {pid} {len(clusters_mesh)}", flush=True)
+"""
+
+
+@pytest.mark.timeout(600)
+def test_two_process_bulk_engine(tmp_path):
+    """The full BulkClusterEngine over a 2-process global mesh produces the
+    same clusters as the single-process engine, on BOTH hosts (SURVEY §4:
+    shard-count invariance; §5 distributed backend)."""
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.update({
+            "RATTLE_REPO": repo,
+            "RATTLE_COORDINATOR": f"127.0.0.1:{port}",
+            "RATTLE_NUM_PROCESSES": "2",
+            "RATTLE_PROCESS_ID": str(pid),
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", ENGINE_WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    n_clusters = set()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("ENGINE_OK")]
+        assert line and line[0].split()[1] == str(pid)
+        n_clusters.add(line[0].split()[2])
+    assert len(n_clusters) == 1  # identical cluster count on both hosts
