@@ -47,7 +47,7 @@ HALF = SK - 1
 # (max read len + 1, graph node cap, lane cap) per column-width config;
 # the kernel streams DP rows through HBM so n_cap is an HBM budget, not a
 # VMEM one
-CONFIGS = ((1024, 4096, 64), (2048, 8192, 16))
+CONFIGS = ((1024, 4096, 64), (2048, 8192, 16), (4096, 16384, 8))
 
 
 def _cfg_for(lmax: int, n_reads: int, total: int):
@@ -287,11 +287,28 @@ class PackEngine:
                       "device_bases": 0, "host_bases": 0, "steps": 0}
 
     def msa_many(self, all_seqs: List[List[str]], match: int = 5,
-                 mismatch: int = -4, go: int = -8,
-                 ge: int = -6) -> List[Optional[list]]:
+                 mismatch: int = -4, go: int = -8, ge: int = -6,
+                 host_fn=None) -> List[Optional[list]]:
         """Returns per pack: list of gap-padded MSA rows, or None when the
-        pack must be handled by the host fallback."""
+        pack must be handled by the host fallback.
+
+        With ``host_fn(seqs) -> rows``, fallback packs run on a worker
+        thread OVERLAPPED with the device groups (the native aligner
+        releases the GIL; the device thread mostly waits on the TPU), and
+        every entry comes back filled."""
         results: List[Optional[list]] = [None] * len(all_seqs)
+        pool = futures = None
+        if host_fn is not None:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=1)
+            futures = {}
+
+        def to_host(i, total):
+            self.stats["fallback_packs"] += 1
+            self.stats["host_bases"] += total
+            if pool is not None:
+                futures[i] = pool.submit(host_fn, all_seqs[i])
+
         jobs = []
         for i, seqs in enumerate(all_seqs):
             if not seqs:
@@ -301,8 +318,7 @@ class PackEngine:
             total = sum(len(s) for s in seqs)
             cfg = _cfg_for(lmax, len(seqs), total)
             if cfg is None:
-                self.stats["fallback_packs"] += 1
-                self.stats["host_bases"] += total
+                to_host(i, total)
                 continue
             jobs.append((cfg, total, i))
 
@@ -319,7 +335,11 @@ class PackEngine:
 
         for group in groups:
             self._run_group(group, all_seqs, results,
-                            (match, mismatch, go, ge))
+                            (match, mismatch, go, ge), to_host)
+        if pool is not None:
+            for i, fut in futures.items():
+                results[i] = fut.result()
+            pool.shutdown()
         return results
 
     def _lanes(self, cfg) -> int:
@@ -329,10 +349,23 @@ class PackEngine:
                 return min(self.max_lanes, lanes)
         return 8
 
-    def _run_group(self, group, all_seqs, results, params):
+    def _run_group(self, group, all_seqs, results, params, to_host=None):
+        import os as _os
+        import sys as _sys
         (w, n_cap, r_cap, tot_cap), _, _ = group[0]
         ids = [i for _, _, i in group]
-        b = len(ids)
+        # pad to the config's full lane count: inactive lanes are cheap,
+        # and a single (b, n, r, tot) shape per config keeps the ~30 s
+        # remote compiles bounded
+        b = self._lanes((w, n_cap, r_cap, tot_cap))
+        debug_t0 = None
+        if _os.environ.get("RATTLE_POA_DEBUG"):
+            import time as _time
+            debug_t0 = _time.time()
+            mx = max(len(all_seqs[i]) for i in ids)
+            print(f"[pack_engine] group w={w} n={n_cap} r={r_cap} "
+                  f"tot={tot_cap} packs={len(ids)} max_reads={mx}",
+                  file=_sys.stderr, flush=True)
         seqs_arr = np.zeros((b, r_cap, w), np.int8)
         lens = np.zeros((b, r_cap), np.int32)
         n_reads = np.zeros((b,), np.int32)
@@ -348,16 +381,33 @@ class PackEngine:
                          tot_cap=tot_cap)
         max_reads = int(n_reads.max())
         match, mismatch, go, ge = params
+        debug = bool(_os.environ.get("RATTLE_POA_DEBUG"))
         for t in range(max_reads):
             st = _step(st, jnp.int32(t), match=match, mismatch=mismatch,
                        go=go, ge=ge)
+            if t % 32 == 31:
+                # bound async dispatch depth: each step's dead DP backing
+                # stores are ~1.5 GB of transient HBM
+                _ = int(np.asarray(st["n_nodes"])[0])
+            if debug and t % 16 == 0:
+                # sync so a crash points at the guilty step
+                _ = int(np.asarray(st["n_nodes"])[0])
+                print(f"[pack_engine]   step {t}/{max_reads}",
+                      file=_sys.stderr, flush=True)
         self.stats["steps"] += max_reads
         cols, n_groups, n_nodes, fb = (np.asarray(x) for x in _finalize(st))
+        if debug_t0 is not None:
+            import time as _time
+            print(f"[pack_engine]   group done in {_time.time()-debug_t0:.1f}s",
+                  file=_sys.stderr, flush=True)
 
         for li, i in enumerate(ids):
             if fb[li]:
-                self.stats["fallback_packs"] += 1
-                self.stats["host_bases"] += int(lens[li].sum())
+                if to_host is not None:
+                    to_host(i, int(lens[li].sum()))
+                else:
+                    self.stats["fallback_packs"] += 1
+                    self.stats["host_bases"] += int(lens[li].sum())
                 continue
             self.stats["device_packs"] += 1
             self.stats["device_bases"] += int(lens[li].sum())

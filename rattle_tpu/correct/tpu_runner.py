@@ -160,9 +160,10 @@ def batched_msa(all_seqs: List[List[str]], params: poa.POAParams,
         eng = _PACK_ENGINE
         results = eng.msa_many(
             all_seqs, match=params.match, mismatch=params.mismatch,
-            go=params.gap_open, ge=params.gap_extend)
+            go=params.gap_open, ge=params.gap_extend,
+            host_fn=lambda seqs: _host_msa(seqs, params))
         for i, r in enumerate(results):
-            if r is None:
+            if r is None:  # only if host_fn was somehow skipped
                 results[i] = _host_msa(all_seqs[i], params)
         LAST_STATS.update({k: eng.stats[k] for k in LAST_STATS})
         return results
