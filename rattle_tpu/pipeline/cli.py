@@ -158,6 +158,11 @@ def main(argv=None):
     args = top.parse_args(argv)
     mode = args.mode
     labels = [l for l in args.label.split(",") if l] if hasattr(args, "label") else []
+    # every process computes identical outputs (same inputs, deterministic
+    # replay); only process 0 writes them, in EVERY mode — concurrent
+    # identical-path writes on a shared filesystem can interleave (ADVICE r4)
+    is_writer = (not distributed
+                 or __import__("jax").process_index() == 0)
 
     if mode == "cluster":
         if args.kmer_size > 16 or args.iso_kmer_size > 16:
@@ -186,7 +191,7 @@ def main(argv=None):
         kind = "isoform" if args.iso else "gene"
         print(f"{kind} clustering done", file=sys.stderr)
         print(f"{len(clusters)} {kind} clusters found", file=sys.stderr)
-        if not distributed or __import__("jax").process_index() == 0:
+        if is_writer:
             hpsio.write_clusters(clusters,
                                  os.path.join(args.output, "clusters.out"))
         return 0
@@ -202,9 +207,13 @@ def main(argv=None):
                             pack_runner=_pack_runner(args.poa_backend),
                             checkpoint_dir=args.checkpoint_dir,
                             verbose=args.verbose)
-        fastx.write_fastq(res.corrected, os.path.join(args.output, "corrected.fq"))
-        fastx.write_fastq(res.uncorrected, os.path.join(args.output, "uncorrected.fq"))
-        fastx.write_fastq(res.consensi, os.path.join(args.output, "consensi.fq"))
+        if is_writer:
+            fastx.write_fastq(res.corrected,
+                              os.path.join(args.output, "corrected.fq"))
+            fastx.write_fastq(res.uncorrected,
+                              os.path.join(args.output, "uncorrected.fq"))
+            fastx.write_fastq(res.consensi,
+                              os.path.join(args.output, "consensi.fq"))
         if res.checkpoint is not None:
             res.checkpoint.finalize()  # stage artifacts are now the checkpoint
         print("Done", file=sys.stderr)
@@ -226,8 +235,9 @@ def main(argv=None):
         files = [f for f in args.input.split(",") if f]
         reads = fastx.read_multiple_inputs(files, labels)
         clusters = hpsio.read_clusters(args.clusters)
-        stages.extract_clusters(reads, clusters, args.output,
-                                min_reads=args.min_reads, fastq=args.fastq)
+        if is_writer:
+            stages.extract_clusters(reads, clusters, args.output,
+                                    min_reads=args.min_reads, fastq=args.fastq)
         return 0
 
     if mode == "polish":
@@ -236,10 +246,12 @@ def main(argv=None):
         consensi, summary_rows = run_polish(
             reads, args.rna, labels, cluster_engine=_engine(args),
             pack_runner=_pack_runner(args.poa_backend))
-        if args.summary:
+        if args.summary and is_writer:
             fastx.write_polish_summary(
                 summary_rows, os.path.join(args.output, "polish_summary.tsv"))
-        fastx.write_fastq(consensi, os.path.join(args.output, "transcriptome.fq"))
+        if is_writer:
+            fastx.write_fastq(consensi,
+                              os.path.join(args.output, "transcriptome.fq"))
         print("Done", file=sys.stderr)
         return 0
 

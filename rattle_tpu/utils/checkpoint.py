@@ -221,8 +221,12 @@ class ClusterCheckpoint:
 
     def finalize(self) -> None:
         import glob
+        # legacy fixed-name files (pre-namespacing layout) are never loaded
+        # any more; clean them up too so upgraded runs don't leave orphans
+        legacy = [os.path.join(self.dir, "cluster_manifest.json")] \
+            + glob.glob(os.path.join(self.dir, "cluster_state.hps"))
         for path in [self.manifest_path] + glob.glob(
-                self._state_fmt % "*"):
+                self._state_fmt % "*") + legacy:
             if os.path.exists(path):
                 os.remove(path)
         try:
