@@ -53,7 +53,8 @@ from ..config import ClusterParams, bv_threshold_schedule
 from ..io.hpsio import Cluster, CSeq
 from ..ops import gates
 from ..ops.encode import encode_seq
-from ..ops.sketch_device import DeviceSketch, build_device_sketch
+from ..ops.sketch_device import (DeviceSketch, build_device_sketch,
+                                 build_device_sketch_sharded)
 from ..ops.join_device import merge_join_expand, sorted_join_expand
 from ..ops.lis_select import (anchor_filter_select, lis_build_select,
                               lis_reconstruct_select)
@@ -407,29 +408,49 @@ class BulkClusterEngine:
 
     def __init__(self, seqs: Sequence[str], params: ClusterParams,
                  sketch: Optional[DeviceSketch] = None, mesh=None,
-                 groups: Optional[np.ndarray] = None):
+                 groups: Optional[np.ndarray] = None, shard=None):
+        """``shard=(global_lens, start)``: per-host input sharding — ``seqs``
+        is only THIS process's contiguous slice of the globally
+        length-sorted reads, beginning at global row ``start``; every host
+        knows all read lengths (streaming metadata scan) but no host holds
+        another host's sequence content (fetched on demand by the rare
+        host-rescore path via a deterministic collective)."""
         if params.use_hc:
             # unreachable from the reference CLI (no main.cpp flag sets
             # use_hc); score_chunk gates on `bases` so mixing metrics with
             # the host's hc path would silently diverge
             raise NotImplementedError("use_hc not supported by the bulk "
                                       "engine; use the oracle engine")
-        self.seqs = list(seqs)
         self.p = params
-        self.n = len(seqs)
         self.mesh = mesh
-        self.read_lens = [len(s) for s in seqs]
         n_pad_to = 256
         if mesh is not None:
             # the reads axis is sharded over the mesh: pad to a multiple
             import math
             nd = int(np.prod(mesh.devices.shape))
             n_pad_to = 256 * nd // math.gcd(256, nd)
-        self.sk = sketch if sketch is not None else build_device_sketch(
-            self.seqs, params.kmer_size, not params.is_rna,
-            n_pad_to=n_pad_to)
-        if mesh is not None:
-            self._shard_sketch(mesh)
+        if shard is not None:
+            global_lens, start = shard
+            if mesh is None:
+                raise ValueError("shard= requires mesh=")
+            self.seqs = None
+            self._local_seqs = {start + i: s for i, s in enumerate(seqs)}
+            self.n = len(global_lens)
+            self.read_lens = [int(x) for x in global_lens]
+            n_pad = -(-self.n // n_pad_to) * n_pad_to
+            self.sk = build_device_sketch_sharded(
+                list(seqs), np.asarray(global_lens), start,
+                params.kmer_size, not params.is_rna, mesh, n_pad)
+        else:
+            self.seqs = list(seqs)
+            self._local_seqs = None
+            self.n = len(seqs)
+            self.read_lens = [len(s) for s in seqs]
+            self.sk = sketch if sketch is not None else build_device_sketch(
+                self.seqs, params.kmer_size, not params.is_rna,
+                n_pad_to=n_pad_to)
+            if mesh is not None:
+                self._shard_sketch(mesh)
         sk = self.sk
         self.n_pad = sk.hbp.shape[0]
         self.k_block = min(4096, self.n_pad)
@@ -533,11 +554,52 @@ class BulkClusterEngine:
                 t["rev_hs"] if rev else t["hs"],
                 t["rev_ps"] if rev else t["ps"])
 
+    def _seq(self, i: int) -> str:
+        """Read i's sequence; in sharded mode it must be local or already
+        fetched by _ensure_seqs."""
+        if self.seqs is not None:
+            return self.seqs[i]
+        return self._local_seqs[i]
+
+    def _ensure_seqs(self, ids) -> None:
+        """Sharded mode: make the given global read ids' sequences available
+        on every host via ONE deterministic collective (every host computes
+        the identical borderline/overflow pair set, so the collective's
+        shape agrees without coordination).  Owners contribute their rows;
+        a max-combine assembles the full set.  Borderline pairs are rare,
+        so the exchanged bytes are negligible."""
+        if self.seqs is not None:
+            return
+        import jax as _jax
+        if _jax.process_count() == 1:
+            return
+        # NO local early-out: another host may be missing an id this host
+        # owns, and the collective's shape must agree everywhere — so the
+        # exchange always covers the full id set
+        ids = sorted(set(int(i) for i in ids))
+        if not ids:
+            return
+        from jax.experimental import multihost_utils as mhu
+        lmax = max(self.read_lens[i] for i in ids)
+        buf = np.zeros((len(ids), lmax), np.uint8)
+        for r, i in enumerate(ids):
+            s = self._local_seqs.get(i)
+            if s is not None:
+                raw = np.frombuffer(s.encode("ascii"), np.uint8)
+                buf[r, : len(raw)] = raw
+        got = np.asarray(mhu.process_allgather(buf))  # [pc, n_ids, lmax]
+        tot = got.max(axis=0)
+        for r, i in enumerate(ids):
+            if i not in self._local_seqs:
+                ln = self.read_lens[i]
+                self._local_seqs[i] = tot[r, :ln].tobytes().decode("ascii")
+
     def _okm(self, i: int) -> oracle.ReadKmers:
         km = self._oracle_kmers.get(i)
         if km is None:
             km = oracle.extract_kmers(
-                encode_seq(self.seqs[i]), self.p.kmer_size, not self.p.is_rna)
+                encode_seq(self._seq(i)), self.p.kmer_size,
+                not self.p.is_rna)
             self._oracle_kmers[i] = km
         return km
 
@@ -580,10 +642,11 @@ class BulkClusterEngine:
         if todo:
             from .. import native
             from ..ops.sketch import build_sketch_tables
+            self._ensure_seqs([i for _rev, a, b in todo for i in (a, b)])
             if native.available():
                 uniq = sorted({i for _rev, a, b in todo for i in (a, b)})
                 remap = {g: i for i, g in enumerate(uniq)}
-                sub = build_sketch_tables([self.seqs[i] for i in uniq],
+                sub = build_sketch_tables([self._seq(i) for i in uniq],
                                           self.p.kmer_size,
                                           not self.p.is_rna)
                 a_ids = np.array([remap[a] for _rev, a, _b in todo], np.int32)
@@ -925,6 +988,21 @@ class BulkClusterEngine:
                 ck.record(phases_done, clusters)
         self.phase_times["merge"] = time.time() - t0
         return clusters
+
+
+def shard_plan(mesh, n: int):
+    """(start, end, n_pad): this process's contiguous slice of the globally
+    length-sorted read list, under the same padding rule the engine's
+    sharded sketch build uses (rows divide evenly across processes and
+    devices)."""
+    import math
+    import jax
+    nd = int(np.prod(mesh.devices.shape))
+    n_pad_to = 256 * nd // math.gcd(256, nd)
+    n_pad = -(-n // n_pad_to) * n_pad_to
+    rows = n_pad // jax.process_count()
+    start = jax.process_index() * rows
+    return start, min(start + rows, n), n_pad
 
 
 ORACLE_CUTOVER = 48

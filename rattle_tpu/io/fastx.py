@@ -237,6 +237,125 @@ def read_multiple_inputs_cluster(
     return reads
 
 
+def _iter_lines(path: str):
+    """Streaming twin of _lines (first line decides CRLF; then every line
+    loses its final character in CRLF mode, fasta.cpp:219)."""
+    with open(path, "r") as fh:
+        first = fh.readline()
+        if not first:
+            return
+        if first.endswith("\n"):
+            first = first[:-1]
+        crlf = first.endswith("\r")
+        yield first[:-1] if crlf else first
+        for ln in fh:
+            if ln.endswith("\n"):
+                ln = ln[:-1]
+            yield ln[:-1] if crlf else ln
+
+
+def scan_multiple_inputs_cluster(
+    input_files: List[str],
+    label_files: List[str],
+    raw: bool,
+    lower_len: int,
+    upper_len: int,
+):
+    """Streaming pass-1 metadata scan for per-host shard reading.
+
+    Applies the exact survival rules of read_multiple_inputs_cluster
+    (length window, N-filter, running original-index contract,
+    main.cpp:16-64 / fasta.cpp:272-370) but retains NO sequence content.
+    Returns (lengths, orig_indices) numpy arrays over the surviving reads
+    in file-concatenation order — identical on every host, so the stable
+    length-descending sort order (and hence every read's global id) is
+    agreed without communication.
+    """
+    import numpy as np
+    no_labels = len(label_files) == 0
+    if not no_labels and len(input_files) != len(label_files):
+        raise ValueError(
+            "Number of input files and number of label files do not match")
+    lengths: List[int] = []
+    anns: List[int] = []
+    index = 0
+    for f in input_files:
+        if not os.path.exists(f):
+            raise FileNotFoundError(f)
+        path, kind = _route(f)
+        file_survivors = 0
+        if kind == "fastq":
+            it = _iter_lines(path)
+            while True:
+                rec = []
+                for ln in it:
+                    rec.append(ln)
+                    if len(rec) == 4:
+                        break
+                if len(rec) < 4:
+                    break
+                seq = rec[1]
+                ann = index
+                index += 1
+                if (raw or lower_len <= len(seq) <= upper_len) \
+                        and "N" not in seq:
+                    lengths.append(len(seq))
+                    anns.append(ann)
+                    file_survivors += 1
+        else:
+            for _header, seq in _fasta_records(path):
+                ann = index
+                index += 1
+                # fasta readers uppercase before the N check
+                if (raw or lower_len <= len(seq) <= upper_len) \
+                        and "N" not in seq and "n" not in seq:
+                    lengths.append(len(seq))
+                    anns.append(ann)
+                    file_survivors += 1
+        if file_survivors == 0:
+            raise ValueError(f"no reads survived filters in {path}")
+    return (np.asarray(lengths, dtype=np.int64),
+            np.asarray(anns, dtype=np.int64))
+
+
+def read_cluster_selection(
+    input_files: List[str],
+    label_files: List[str],
+    raw: bool,
+    lower_len: int,
+    upper_len: int,
+    wanted,
+) -> dict:
+    """Pass-2 selective reader: full Read objects for the surviving-order
+    positions in ``wanted`` only (per-host shard reading).  Parsing is
+    per-file transient; only the selected reads are retained."""
+    no_labels = len(label_files) == 0
+    if not no_labels and len(input_files) != len(label_files):
+        raise ValueError(
+            "Number of input files and number of label files do not match")
+    wanted = set(int(w) for w in wanted)
+    out: dict = {}
+    reads_num = 0
+    surv = 0
+    for sample_number, f in enumerate(input_files):
+        if not os.path.exists(f):
+            raise FileNotFoundError(f)
+        sample_label = "" if no_labels else "," + label_files[sample_number]
+        path, kind = _route(f)
+        if kind == "fastq":
+            file_reads = read_fastq_cluster(path, sample_label, reads_num,
+                                            raw, lower_len, upper_len)
+        else:
+            file_reads = read_fasta_cluster(path, sample_label, reads_num,
+                                            raw, lower_len, upper_len)
+        reads_num = int(file_reads[-1].quality)
+        for r in file_reads:
+            if surv in wanted:
+                out[surv] = r
+            surv += 1
+    return out
+
+
 def read_multiple_inputs(input_files: List[str], label_files: List[str]) -> ReadSet:
     """Raw multi-sample reader for correct/summary modes (main.cpp:66-112)."""
     no_labels = len(label_files) == 0

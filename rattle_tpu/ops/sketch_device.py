@@ -119,6 +119,71 @@ def _revcomp_codes_batch(codes, lens):
     return jnp.where(src >= 0, rc, jnp.uint8(0))
 
 
+def _unpack_plane(bvp: np.ndarray) -> np.ndarray:
+    """Packed [N, 128]-word bitvector -> unpacked [N, 4096] int8 plane.
+
+    Bit h lives at word h>>5, bit h&31; viewing the little-endian uint32
+    words as bytes puts it at byte h>>3, bit h&7 — exactly numpy's
+    little-endian unpackbits order."""
+    return np.unpackbits(
+        bvp.astype("<u4").view(np.uint8), axis=1,
+        bitorder="little").astype(np.int8)
+
+
+def build_device_sketch_sharded(local_seqs: List[str],
+                                global_lens: np.ndarray, start: int,
+                                kmer_size: int, both_strands: bool,
+                                mesh, n_pad: int) -> DeviceSketch:
+    """Per-host shard build (SURVEY §5/§8: each host reads only its slice).
+
+    ``local_seqs`` are this process's contiguous slice of the globally
+    length-sorted read list, beginning at global row ``start``; the global
+    row count is padded to ``n_pad`` (divisible by the process count and
+    the device count).  Tables build NATIVELY on the host over the local
+    slice (ops/sketch.build_sketch_tables) and assemble into globally
+    row-sharded device arrays — no host ever materializes another host's
+    rows.  nk/lens scalars are global (derived from ``global_lens``, which
+    every host knows from the streaming metadata scan)."""
+    import jax as _jax
+    from ..parallel.launch import make_global_sharded
+    from .sketch import build_sketch_tables
+
+    n = len(global_lens)
+    pc = _jax.process_count()
+    assert n_pad % pc == 0, (n_pad, pc)
+    rows = n_pad // pc
+    assert len(local_seqs) <= rows
+    kmax = _round_up(int(max(global_lens)) - kmer_size, 128)
+    t = build_sketch_tables(local_seqs, kmer_size, both_strands, kmax=kmax)
+
+    def pad(a, fill=0):
+        out = np.full((rows, *a.shape[1:]), fill, dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    put = lambda a: make_global_sharded(mesh, a)  # noqa: E731
+    lens_p = np.zeros(n_pad, np.int32)
+    lens_p[:n] = np.asarray(global_lens, np.int32)
+    nk_p = np.zeros(n_pad, np.int32)
+    nk_p[:n] = lens_p[:n] - kmer_size
+    lo, hi = start, start + rows
+    sk = DeviceSketch(
+        hbp=put(pad(t.hbp, int(PAD))),
+        hs=put(pad(t.hs, int(PAD))),
+        ps=put(pad(t.ps)),
+        plane=put(pad(_unpack_plane(t.bvp))),
+        nk=put(nk_p[lo:hi]),
+        lens=put(lens_p[lo:hi]),
+        bvc=put(pad(t.bvc)),
+        nk_host=nk_p, lens_host=lens_p,
+        n_real=n, kmer_size=kmer_size)
+    if both_strands:
+        sk.rev_hs = put(pad(t.rev_hs, int(PAD)))
+        sk.rev_ps = put(pad(t.rev_ps))
+        sk.rev_plane = put(pad(_unpack_plane(t.rev_bvp)))
+    return sk
+
+
 def build_device_sketch(seqs: List[str], kmer_size: int, both_strands: bool,
                         kmax: Optional[int] = None,
                         n_pad_to: int = 256) -> DeviceSketch:

@@ -5,9 +5,15 @@ the TPU-native scale story is multi-controller JAX:
 
 * each host process calls :func:`init_distributed` (env-driven
   ``jax.distributed.initialize``),
-* each host parses the SAME input list and keeps a contiguous slice of the
-  length-sorted read set (global-index contract of main.cpp:27,47 preserved —
-  indices are assigned before sharding, so every host agrees on them),
+* with ``--shard-input`` each host parses only the METADATA of all inputs
+  (a streaming length scan, io/fastx.scan_multiple_inputs_cluster) plus the
+  full content of its contiguous slice of the length-sorted read set
+  (global-index contract of main.cpp:27,47 preserved — indices are assigned
+  during the scan, before sharding, so every host agrees on them); sketch
+  shards build natively per host (ops/sketch_device.build_device_sketch_
+  sharded) and the rare host-rescore pairs fetch missing sequence content
+  via a deterministic collective (cluster/bulk.BulkClusterEngine._ensure_
+  seqs).  Without the flag every host parses the same full input,
 * decisions run sharded over the GLOBAL device mesh
   (cluster/bulk.py's mesh mode: tables sharded along the reads axis),
 * the decision matrix is allgathered and every host replays the greedy sweep

@@ -112,6 +112,12 @@ def main(argv=None):
                     help="phase-granular resume manifest dir (greedy pass + "
                     "each merge round; bulk engine only — new capability, "
                     "the reference restarts the whole stage on a crash)")
+    pc.add_argument("--shard-input", action="store_true",
+                    help="multi-host: each process parses only metadata of "
+                    "all inputs plus the content of its contiguous slice of "
+                    "the length-sorted reads (requires the RATTLE_* "
+                    "distributed env; incompatible with --iso/--oracle/"
+                    "--checkpoint-dir)")
 
     pco = sub.add_parser("correct")
     _add_common_input(pco)
@@ -171,6 +177,30 @@ def main(argv=None):
         print(f"RNA mode: {str(args.rna).lower()}", file=sys.stderr)
         inp = InputParams(raw=args.raw, lower_len=args.lower_length,
                           upper_len=args.upper_length)
+        if getattr(args, "shard_input", False):
+            if args.iso or args.oracle or args.checkpoint_dir:
+                print("--shard-input is incompatible with --iso/--oracle/"
+                      "--checkpoint-dir", file=sys.stderr)
+                return 1
+            from ..parallel.launch import global_data_mesh
+            gp = ClusterParams(kmer_size=args.kmer_size,
+                               t_s=args.score_threshold,
+                               t_v=args.max_variance,
+                               bv_threshold=args.bv_start_threshold,
+                               bv_min_threshold=args.bv_end_threshold,
+                               bv_falloff=args.bv_falloff,
+                               min_reads_cluster=args.min_reads_cluster,
+                               repr_percentile=args.repr_percentile,
+                               is_rna=args.rna)
+            clusters = stages.run_cluster_sharded(
+                args.input, args.label, inp, gp, global_data_mesh(),
+                verbose=args.verbose)
+            print("gene clustering done", file=sys.stderr)
+            print(f"{len(clusters)} gene clusters found", file=sys.stderr)
+            if is_writer:
+                hpsio.write_clusters(
+                    clusters, os.path.join(args.output, "clusters.out"))
+            return 0
         reads = stages.load_cluster_inputs(args.input, args.label, inp)
         print(f"Reads: {len(reads)}")
         gp = ClusterParams(kmer_size=args.kmer_size, t_s=args.score_threshold,

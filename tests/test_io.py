@@ -98,3 +98,28 @@ def test_hps_reads_golden():
     cs = hpsio.read_clusters(golden)
     assert len(cs) == 546
     assert sum(len(c.seqs) for c in cs) == 8306
+
+
+def test_scan_matches_reader(tmp_path):
+    """The streaming metadata scan agrees with the full cluster reader on
+    lengths, original indices, and survival (shard-input pass 1)."""
+    fq = tmp_path / "a.fastq"
+    recs = [("@r0", "ACGTACGTAA" * 20), ("@r1", "ACGTN" + "ACGT" * 40),
+            ("@r2", "ACG"), ("@r3", "ACGTACGTAC" * 40),
+            ("@r4", "ACGT" * 50)]
+    fq.write_text("".join(f"{h}\n{s}\n+\n{'~' * len(s)}\n" for h, s in recs))
+    fa = tmp_path / "b.fasta"
+    fa.write_text(">x0\n" + "acgtacgtaa" * 30 + "\n>x1\n" + "acgtn" * 40
+                  + "\n>x2\n" + "ACGT" * 45 + "\n")
+    files = [str(fq), str(fa)]
+    full = fastx.read_multiple_inputs_cluster(files, [], False, 150, 1000)
+    lens, anns = fastx.scan_multiple_inputs_cluster(files, [], False, 150,
+                                                    1000)
+    assert list(lens) == [len(r.seq) for r in full]
+    assert list(anns) == [int(r.ann) for r in full]
+    # pass 2 returns exactly the requested survivors with identical content
+    sel = fastx.read_cluster_selection(files, [], False, 150, 1000,
+                                       [0, len(full) - 1])
+    assert sel[0].seq == full[0].seq and sel[0].header == full[0].header
+    assert sel[len(full) - 1].seq == full[-1].seq
+    assert set(sel) == {0, len(full) - 1}

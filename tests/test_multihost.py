@@ -183,3 +183,84 @@ def test_two_process_bulk_engine(tmp_path):
         assert line and line[0].split()[1] == str(pid)
         n_clusters.add(line[0].split()[2])
     assert len(n_clusters) == 1  # identical cluster count on both hosts
+
+
+SHARD_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["RATTLE_REPO"])
+from rattle_tpu.pipeline.cli import main
+rc = main(["cluster", "-i", os.environ["RATTLE_IN"],
+           "-o", os.environ["RATTLE_OUT"], "--rna", "--raw",
+           "--shard-input"])
+assert rc == 0
+import jax
+print(f"SHARD_OK {jax.process_index()}", flush=True)
+"""
+
+
+@pytest.mark.timeout(1200)
+def test_two_process_shard_input_toyset_slice(tmp_path):
+    """Per-host input sharding (SURVEY §8): 1,000 toyset reads split across
+    2 processes — each parses only metadata plus its contiguous slice —
+    produce a clusters.out byte-identical to the single-process engine's,
+    written by process 0 only."""
+    import subprocess as sp
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from tools.reconstruct_toyset import reconstruct
+    full = reconstruct()
+    with open(full) as fh:
+        lines = fh.read().splitlines()
+    slice_fq = tmp_path / "slice.fq"
+    slice_fq.write_text("\n".join(lines[-4000:]) + "\n")  # 1,000 shortest
+
+    def base_env():
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.update({"RATTLE_REPO": repo, "JAX_PLATFORMS": "cpu",
+                    "RATTLE_IN": str(slice_fq)})
+        return env
+
+    # single-process reference run (same engine, no sharding)
+    ref_out = tmp_path / "ref"
+    ref_out.mkdir()
+    env = base_env()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    p = sp.run([sys.executable, "-m", "rattle_tpu.pipeline.cli", "cluster",
+                "-i", str(slice_fq), "-o", str(ref_out), "--rna", "--raw"],
+               env=env, capture_output=True, text=True, timeout=900)
+    assert p.returncode == 0, p.stderr[-4000:]
+
+    port = _free_port()
+    procs = []
+    outdirs = []
+    for pid in range(2):
+        outdir = tmp_path / f"out{pid}"
+        outdir.mkdir()
+        outdirs.append(outdir)
+        env = base_env()
+        env.update({
+            "RATTLE_COORDINATOR": f"127.0.0.1:{port}",
+            "RATTLE_NUM_PROCESSES": "2",
+            "RATTLE_PROCESS_ID": str(pid),
+            "RATTLE_OUT": str(outdir),
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        })
+        procs.append(sp.Popen([sys.executable, "-c", SHARD_WORKER], env=env,
+                              stdout=sp.PIPE, stderr=sp.STDOUT, text=True))
+    outs = []
+    for p_ in procs:
+        try:
+            out, _ = p_.communicate(timeout=1000)
+        except sp.TimeoutExpired:
+            p_.kill()
+            out, _ = p_.communicate()
+        outs.append(out)
+    for pid, (p_, out) in enumerate(zip(procs, outs)):
+        assert p_.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+        assert f"SHARD_OK {pid}" in out
+    # only process 0 writes; its output is byte-identical to the reference
+    assert not (outdirs[1] / "clusters.out").exists()
+    got = (outdirs[0] / "clusters.out").read_bytes()
+    want = (ref_out / "clusters.out").read_bytes()
+    assert got == want
