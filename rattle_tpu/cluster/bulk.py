@@ -135,19 +135,28 @@ def _pow2_at_least(n: int, lo: int) -> int:
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("budget", "n_pad"),
-                   donate_argnums=(14,))
-def gate_block(plane_rows, bvc_rows, order_rows, group_rows, n_rows,
-               plane_cols, bvc_cols, order_cols, group_cols, n_cols, tab,
-               cache_flat, row_ids, col_ids, w, strand_val, budget: int,
-               n_pad: int):
-    """Bitvector gate (cluster.cpp:13-19) + row-sorted pair compaction.
+# pad past the budget so blind chunk slices near the tail stay in-bounds
+CH_PAD = 4096
 
-    Returns (w', packed [budget] int32, total): packed holds
-    ((row * C + col) << 2) | cached_state for each gated pair; cached WINS
-    (state 2) are folded into ``w`` on device so the host only routes the
-    unscored remainder.  The row-sort compaction replaces a global
-    nonzero-sort over [A*C] (measured ~1.1 s at 8448^2) with A row sorts.
+
+@functools.partial(jax.jit,
+                   static_argnames=("budget", "n_pad", "n_classes"),
+                   donate_argnums=(14,))
+def gate_class_block(plane_rows, bvc_rows, order_rows, group_rows, n_rows,
+                     plane_cols, bvc_cols, order_cols, group_cols, n_cols,
+                     tab, cache_flat, row_ids, col_ids, w, strand_val, nk,
+                     bounds, budget: int, n_pad: int, n_classes: int):
+    """Bitvector gate (cluster.cpp:13-19) + row-sorted pair compaction +
+    ON-DEVICE class routing.
+
+    Returns (w', rc_flat [budget + CH_PAD] int32, total, class_counts
+    [n_classes]): rc_flat holds row * C + col for every FRESH gated pair,
+    stably sorted by K-class (pair max-nk vs ``bounds``), -1 padded.
+    Cached WINS are folded into ``w`` on device and cached pairs never
+    enter rc_flat — the host learns only (total, class_counts) and that
+    only via the end-of-wave summary fetch; every downstream dispatch is
+    blind.  The row-sort compaction replaces a global nonzero-sort over
+    [A*C] (measured ~1.1 s at 8448^2) with A row sorts.
 
     ``group_rows/cols``: pairs from different groups never gate — this is
     how --iso batches every gene cluster's sub-clustering into one pass
@@ -198,13 +207,29 @@ def gate_block(plane_rows, bvc_rows, order_rows, group_rows, n_rows,
     cval = jnp.where(valid, cval, 0)
     w = w.at[jnp.where(valid & (cval == 2), rowc, a + 1), colc].max(
         strand_val, mode="drop")
-    packed = jnp.where(valid, ((rowc * c + colc) << 2) | cval, -1)
-    return w, packed, total
+
+    fresh = valid & (cval == 0)
+    pair_nk = jnp.maximum(jnp.take(nk, ra), jnp.take(nk, rb))
+    if bounds.shape[0]:
+        cls = (pair_nk[:, None] > bounds[None, :]).sum(
+            axis=1, dtype=jnp.int32)
+    else:
+        cls = jnp.zeros((budget,), jnp.int32)
+    key = jnp.where(fresh, cls, n_classes)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    rc = rowc * c + colc
+    rc_sorted = jnp.where(jnp.take(key, order) < n_classes,
+                          jnp.take(rc, order), -1)
+    rc_flat = jnp.pad(rc_sorted, (0, CH_PAD), constant_values=-1)
+    class_counts = (key[None, :]
+                    == jnp.arange(n_classes, dtype=jnp.int32)[:, None]).sum(
+        axis=1, dtype=jnp.int32)
+    return w, rc_flat, total, class_counts
 
 
 
 
-def _score_body(pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b,
+def _score_body(rows, cols, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b,
                 lens, sc_tab, t_v, var_band, strand_val, w, cache_flat,
                 m_cap: int, kmer_size: int, hc_max_dist: int, n_pad: int,
                 use_pallas: bool = False):
@@ -213,8 +238,6 @@ def _score_body(pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b,
     outcomes scatter into the cross-round score cache; returns
     (w', cache', border [CH] bool) where border = f64-borderline variance
     (host rescored, cluster.cpp exactness contract)."""
-    rows = pairs_rc[:, 0]
-    cols = pairs_rc[:, 1]
     act = rows >= 0
     a_ids = jnp.take(row_ids, jnp.clip(rows, 0))
     b_ids = jnp.take(col_ids, jnp.clip(cols, 0))
@@ -262,94 +285,152 @@ def _score_body(pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("m_cap", "kmer_size", "hc_max_dist",
-                                    "n_pad", "use_pallas"),
-                   donate_argnums=(13, 14))
-def score_chunk(pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b,
-                lens, sc_tab, t_v, var_band, strand_val, w, cache_flat,
-                m_cap: int, kmer_size: int, hc_max_dist: int, n_pad: int,
-                use_pallas: bool = False):
-    w, cache_flat, border, _cnt = _score_body(
-        pairs_rc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b, lens,
-        sc_tab, t_v, var_band, strand_val, w, cache_flat, m_cap, kmer_size,
-        hc_max_dist, n_pad, use_pallas)
-    return w, cache_flat, border
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("m_cap", "kmer_size", "hc_max_dist",
-                                    "n_pad", "use_pallas"),
-                   donate_argnums=(14, 15))
-def score_chunks_batched(pairs3d, nc_real, row_ids, col_ids, hs_a, ps_a, nk,
-                         hs_b, ps_b, lens, sc_tab, t_v, var_band,
-                         strand_val, w, cache_flat, m_cap: int,
-                         kmer_size: int, hc_max_dist: int, n_pad: int,
-                         use_pallas: bool = False):
-    """All chunks of one (class, tier) route in ONE dispatch.
-
-    pairs3d [NC, CH, 2] (NC pow2-padded for compile-variant bounding; only
-    ``nc_real`` chunks execute); w/cache thread through the loop as donated
-    carries; borders come back stacked [NC, CH] and flatten to the caller's
-    padded pair layout.  One executable per route replaces the per-chunk
-    dispatch loop whose relay latency dominated the score pass."""
-    nc, ch, _ = pairs3d.shape
-
-    def body(ci, carry):
-        w_, cache_, borders_ = carry
-        prc = jax.lax.dynamic_slice(pairs3d, (ci, 0, 0), (1, ch, 2))[0]
-        w_, cache_, border, _cnt = _score_body(
-            prc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b, lens,
-            sc_tab, t_v, var_band, strand_val, w_, cache_,
-            m_cap, kmer_size, hc_max_dist, n_pad, use_pallas)
-        borders_ = jax.lax.dynamic_update_slice(borders_, border[None],
-                                                (ci, 0))
-        return w_, cache_, borders_
-
-    w, cache_flat, borders = jax.lax.fori_loop(
-        0, nc_real, body,
-        (w, cache_flat, jnp.zeros((nc, ch), jnp.bool_)))
-    # any-flag: borderline pairs are rare, so the host checks this 1-element
-    # fetch before paying for the [NC, CH] transfer (~3 MB/s d2h relay)
-    return w, cache_flat, borders, borders.any()[None]
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("m_cap", "kmer_size", "hc_max_dist",
-                                    "n_pad", "use_pallas"),
-                   donate_argnums=(14, 15))
-def fused0_chunks_batched(pairs3d, nc_real, row_ids, col_ids, hs_a, ps_a,
-                          nk, hs_b, ps_b, lens, sc_tab, t_v, var_band,
-                          strand_val, w, cache_flat, m_cap: int,
-                          kmer_size: int, hc_max_dist: int, n_pad: int,
-                          use_pallas: bool = False):
-    """Fused COUNT + tier-0 DECISION pass.
+                   static_argnames=("cls_i", "ch", "nc_max", "m_cap",
+                                    "kmer_size", "hc_max_dist", "n_pad",
+                                    "use_pallas"),
+                   donate_argnums=(15, 16, 17, 18))
+def fused0_route(rc_flat, class_counts, c_pad, row_ids, col_ids, hs_a, ps_a,
+                 nk, hs_b, ps_b, lens, sc_tab, t_v, var_band, strand_val,
+                 w, cache_flat, borders_flat, counts_flat,
+                 cls_i: int, ch: int, nc_max: int, m_cap: int,
+                 kmer_size: int, hc_max_dist: int, n_pad: int,
+                 use_pallas: bool = False):
+    """Blind fused COUNT + tier-0 DECISION pass for one K-class.
 
     One join per pair does double duty: its exact match count routes the
-    pair (returned [NC, CH] counts), and when the matches fit the first M
-    tier the full LIS decision happens right here — for the (majority)
-    tier-0 pairs this halves the dominant cost of the score path, the
-    full-table-width row gathers feeding the join, by never joining twice.
-    Pairs with count > m_cap stay undecided (w/cache untouched) and are
-    routed by the host to the larger tiers."""
-    nc, ch, _ = pairs3d.shape
+    pair (scattered into ``counts_flat``), and when the matches fit the
+    first M tier the full LIS decision happens right here — for the
+    (majority) tier-0 pairs this halves the dominant cost of the score
+    path, the full-table-width row gathers feeding the join, by never
+    joining twice.  The dispatch is BLIND: the class's offset and count
+    come from the device-resident ``class_counts``, so the host issues it
+    without ever fetching the pair list (the round-5 one-fetch-per-wave
+    design; d2h latency dominated the warm clustering time)."""
+    class_off = class_counts[:cls_i].sum() if cls_i else jnp.int32(0)
+    class_cnt = class_counts[cls_i]
+    nc_real = jnp.minimum((class_cnt + ch - 1) // ch, nc_max)
+    iota_ch = jnp.arange(ch, dtype=jnp.int32)
 
     def body(ci, carry):
         w_, cache_, borders_, counts_ = carry
-        prc = jax.lax.dynamic_slice(pairs3d, (ci, 0, 0), (1, ch, 2))[0]
+        start = class_off + ci * ch
+        rc = jax.lax.dynamic_slice(rc_flat, (start,), (ch,))
+        ok = (iota_ch + ci * ch) < class_cnt
+        rc = jnp.where(ok, rc, -1)
+        rows = jnp.where(rc >= 0, rc // c_pad, -1)
+        cols = jnp.where(rc >= 0, rc % c_pad, 0)
         w_, cache_, border, cnt = _score_body(
-            prc, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b, lens,
+            rows, cols, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b, lens,
             sc_tab, t_v, var_band, strand_val, w_, cache_,
             m_cap, kmer_size, hc_max_dist, n_pad, use_pallas)
-        borders_ = jax.lax.dynamic_update_slice(borders_, border[None],
-                                                (ci, 0))
-        counts_ = jax.lax.dynamic_update_slice(counts_, cnt[None], (ci, 0))
+        borders_ = jax.lax.dynamic_update_slice(borders_, border, (start,))
+        counts_ = jax.lax.dynamic_update_slice(counts_, cnt, (start,))
         return w_, cache_, borders_, counts_
 
-    w, cache_flat, borders, counts = jax.lax.fori_loop(
-        0, nc_real, body,
-        (w, cache_flat, jnp.zeros((nc, ch), jnp.bool_),
-         jnp.zeros((nc, ch), jnp.int32)))
-    return w, cache_flat, borders, borders.any()[None], counts
+    return jax.lax.fori_loop(0, nc_real, body,
+                             (w, cache_flat, borders_flat, counts_flat))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("budget", "n_classes", "m_caps",
+                                    "kmer_size"))
+def tier_partition(rc_flat, counts_flat, c_pad, row_ids, col_ids, nk, lens,
+                   sc_tab, bounds, budget: int, n_classes: int,
+                   m_caps: Tuple[int, ...], kmer_size: int):
+    """Device-side M-tier routing of the undecided remainder.
+
+    Per fresh pair: tier key 0 = no further work (decided in tier 0, or
+    cheap reject — bases <= k * matches can never reach the score
+    threshold), 1..T-1 = smallest fitting M tier, T = overflow (exact host
+    scorer).  Pairs stably sort by (class, tier) into ``score_rc`` and the
+    [n_classes, T+1] count matrix routes the blind score dispatches."""
+    t = len(m_caps)
+    rc = rc_flat[:budget]
+    cnt = counts_flat[:budget]
+    act = rc >= 0
+    rows = jnp.where(act, rc // c_pad, 0)
+    cols = jnp.where(act, rc % c_pad, 0)
+    ra = jnp.take(row_ids, rows)
+    rb = jnp.take(col_ids, cols)
+    pair_nk = jnp.maximum(jnp.take(nk, ra), jnp.take(nk, rb))
+    if bounds.shape[0]:
+        cls = (pair_nk[:, None] > bounds[None, :]).sum(
+            axis=1, dtype=jnp.int32)
+    else:
+        cls = jnp.zeros((budget,), jnp.int32)
+    mn = jnp.minimum(jnp.take(lens, ra), jnp.take(lens, rb))
+    min_num = jnp.take(sc_tab, mn)
+    reject = kmer_size * cnt < min_num
+    tier = jnp.zeros((budget,), jnp.int32)
+    for m in m_caps:
+        tier = tier + (cnt > m).astype(jnp.int32)
+    tierkey = jnp.where((tier == 0) | reject, 0, tier)
+    key = jnp.where(act, cls * (t + 1) + tierkey, INT32_MAX)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    keep = (jnp.take(key, order) % (t + 1) != 0) \
+        & (jnp.take(key, order) != INT32_MAX)
+    score_rc = jnp.where(keep, jnp.take(rc, order), -1)
+    score_rc = jnp.pad(score_rc, (0, CH_PAD), constant_values=-1)
+    kk = jnp.arange(n_classes * (t + 1), dtype=jnp.int32)
+    counts_mtx = (key[None, :] == kk[:, None]).sum(
+        axis=1, dtype=jnp.int32).reshape(n_classes, t + 1)
+    return score_rc, counts_mtx
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cls_i", "tier_i", "ch", "nc_max",
+                                    "m_cap", "kmer_size", "hc_max_dist",
+                                    "n_pad", "use_pallas"),
+                   donate_argnums=(15, 16, 17))
+def score_route(score_rc, counts_mtx, c_pad, row_ids, col_ids, hs_a, ps_a,
+                nk, hs_b, ps_b, lens, sc_tab, t_v, var_band, strand_val,
+                w, cache_flat, borders_flat,
+                cls_i: int, tier_i: int, ch: int, nc_max: int, m_cap: int,
+                kmer_size: int, hc_max_dist: int, n_pad: int,
+                use_pallas: bool = False):
+    """Blind score pass for one (class, tier) route over the
+    tier-partitioned pair buffer.  Offset and count are device-resident;
+    a zero-count route costs one empty fori_loop.
+
+    Tier-0 slots hold no pairs (tier_partition drops them), so the flat
+    index of (cls_i, tier_i) is taken over the full count matrix."""
+    flat = counts_mtx.reshape(-1)
+    idx = cls_i * counts_mtx.shape[1] + tier_i
+    off = flat[:idx].sum() if idx else jnp.int32(0)
+    cnt = flat[idx]
+    nc_real = jnp.minimum((cnt + ch - 1) // ch, nc_max)
+    iota_ch = jnp.arange(ch, dtype=jnp.int32)
+
+    def body(ci, carry):
+        w_, cache_, borders_ = carry
+        start = off + ci * ch
+        rc = jax.lax.dynamic_slice(score_rc, (start,), (ch,))
+        ok = (iota_ch + ci * ch) < cnt
+        rc = jnp.where(ok, rc, -1)
+        rows = jnp.where(rc >= 0, rc // c_pad, -1)
+        cols = jnp.where(rc >= 0, rc % c_pad, 0)
+        w_, cache_, border, _cnt2 = _score_body(
+            rows, cols, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b, lens,
+            sc_tab, t_v, var_band, strand_val, w_, cache_,
+            m_cap, kmer_size, hc_max_dist, n_pad, use_pallas)
+        borders_ = jax.lax.dynamic_update_slice(borders_, border, (start,))
+        return w_, cache_, borders_
+
+    return jax.lax.fori_loop(0, nc_real, body,
+                             (w, cache_flat, borders_flat))
+
+
+@jax.jit
+def wave_summary(totals, class_counts, counts_mtxs, border_anys, replay):
+    """ONE int32 vector carrying everything the host needs from a wave:
+    per-strand gate totals (budget check), class counts, tier count
+    matrices, border/overflow any-flags, and the replay result.  A single
+    d2h fetch replaces the five per-wave fetches whose latency dominated
+    warm clustering (round-4 verdict)."""
+    parts = [jnp.ravel(x).astype(jnp.int32)
+             for x in (totals, class_counts, counts_mtxs, border_anys,
+                       replay)]
+    return jnp.concatenate(parts)
 
 
 @jax.jit
@@ -477,6 +558,8 @@ class BulkClusterEngine:
                     tabs["rev_hs"] = jnp.pad(sk.rev_hs, pad)
                     tabs["rev_ps"] = jnp.pad(sk.rev_ps, pad)
             self._cls_tabs.append(tabs)
+        self._bounds_dev = jnp.asarray(
+            np.asarray(self.class_bounds, np.int32))
         # M ladder clamped to the input scale: tiers above ~kmax would run
         # giant scans for pairs the host scorer decides exactly in O(M log M)
         top_m = _pow2_at_least(min(M_LADDER[-1], sk.kmax), M_LADDER[0])
@@ -675,17 +758,32 @@ class BulkClusterEngine:
             elif key not in self._host_cache:
                 yield rev, a, b, r_, c_, self._host_decide(a, b, rev)
 
-    # ---------- one batched decision block ----------
+    # ---------- one batched decision wave ----------
 
-    def _decide(self, row_ids: np.ndarray, col_ids: np.ndarray,
-                threshold: float, ordered: bool):
-        """Decision matrix w [K, Cpad] int8 (0 no, 1 rev, 2 fwd) for
-        row reads x col reads.
+    def _wave(self, row_ids: np.ndarray, col_ids: np.ndarray,
+              threshold: float, ordered: bool, budget: Optional[int] = None):
+        """One decision wave with ONE device->host fetch (round-5 design:
+        warm clustering was dominated by per-wave d2h latency, ~5 fetches
+        a wave).  Pipeline per strand, all dispatched without any fetch:
+
+          gate_class_block: gate + compaction + class sort (device)
+          fused0_route x class: count + tier-0 decisions (blind)
+          tier_partition: cheap-reject + M-tier routing (device)
+          score_route x (class, tier): remaining decisions (blind)
+
+        then the replay (greedy_owner for an ordered block, absorb_rest
+        for a sweep) and a wave_summary carrying totals/route counts/
+        rare-path flags/replay in one int32 vector.  Rare paths (budget
+        overflow, borderline variance, match-count overflow) re-enter with
+        extra fetches; decisions are idempotent so a budget re-run is
+        exact.
 
         ``ordered``: rows/cols are the same greedy-ordered list (block
         phase) — only pairs with row position < col position are tested.
         Otherwise every (row, col) pair is tested (sweep phase; rows are
-        seeds, all of which precede all cols in greedy order)."""
+        seeds, all of which precede all cols in greedy order).
+
+        Returns the packed replay vector (np.int32)."""
         sk = self.sk
         a = len(row_ids)
         c = len(col_ids)
@@ -717,174 +815,162 @@ class BulkClusterEngine:
             order_rows = jnp.zeros((a_pad,), jnp.int32)
             order_cols = jnp.ones((c_pad,), jnp.int32)
 
+        if budget is None:
+            budget = min(PAIR_BUDGET, _pow2_at_least(a_pad * c_pad, 1024))
+        n_cls = self.n_classes
+        t_lad = len(self.m_ladder)
+        c_pad_dev = jnp.int32(c_pad)
+        tv = jnp.float32(self.p.t_v)
+        vband = jnp.float32(self.var_band)
+        m0 = self.m_ladder[0]
+
         w = jnp.zeros((a_pad, c_pad), jnp.int8)
         strands = [False] if self.p.is_rna else [False, True]
-        host_jobs: List[Tuple[bool, int, int, int, int]] = []
-        border_handles: List[Tuple[bool, object, np.ndarray]] = []
-        border_any_acc = jnp.zeros((1,), jnp.bool_)
-        row_ids_h = row_ids.astype(np.int64)
-        col_ids_h = col_ids.astype(np.int64)
-
+        sdata = []
+        t0 = time.time()
         for rev in strands:
-            t0 = time.time()
             if rev:
                 plane_cols = jnp.take(sk.rev_plane, d_col_ids, axis=0)
             else:
                 plane_cols = jnp.take(sk.plane, d_col_ids, axis=0)
             val = jnp.int8(1 if rev else 2)
-            budget = min(PAIR_BUDGET, _pow2_at_least(a_pad * c_pad, 1024))
-            while True:
-                w, packed, total = gate_block(
-                    plane_rows, bvc_rows, order_rows, group_rows,
-                    jnp.int32(a), plane_cols, bvc_cols, order_cols,
-                    group_cols, jnp.int32(c), tab,
-                    self._cache[rev], d_row_ids, d_col_ids, w, val,
-                    budget, self.cache_n)
-                ng = _fetch_scalar(total)
-                if ng <= budget:
-                    break
-                budget = _pow2_at_least(ng, budget * 2)
-            _prof(f"gate a={a} c={c} thr={threshold} ng={ng}", t0)
-            if ng == 0:
-                continue
-
-            # fetch the gated pair list (+ cached states) in one transfer
-            # (bucketed slice size: a per-ng shape would recompile every round)
-            t0 = time.time()
-            ng_pad = min(budget, _pow2_at_least(ng, 1024))
-            pk = _fetch(jax.lax.slice(packed, (0,), (ng_pad,)))[:ng]
-            cval = pk & 3
-            rc = pk >> 2
-            rows = (rc // c_pad).astype(np.int32)
-            cols = (rc % c_pad).astype(np.int32)
-            fresh = cval == 0
-            rows_f, cols_f = rows[fresh], cols[fresh]
-            _prof(f"pairs fetch n={ng} fresh={len(rows_f)}", t0)
-            if len(rows_f) == 0:
-                continue
-
-            # ---- fused count + tier-0 decision pass (one join does both:
-            # the count routes the pair AND, when it fits the first M tier,
-            # the LIS decision lands right here — no second join/gather for
-            # the majority of pairs) ----
-            t0 = time.time()
-            ra = row_ids_h[rows_f]
-            rb = col_ids_h[cols_f]
-            pair_nk = np.maximum(self.nk_host[ra], self.nk_host[rb])
-            bounds = list(self.class_bounds) + [1 << 30]
-            cls_of = np.searchsorted(np.asarray(bounds), pair_nk,
-                                     side="left")
-            m0 = self.m_ladder[0]
-            counts = np.zeros(len(rows_f), np.int32)
-            count_handles = []
             cache = self._cache[rev]
-            for cls_i in range(self.n_classes):
-                sel = np.nonzero(cls_of == cls_i)[0]
-                if len(sel) == 0:
-                    continue
+            w, rc_flat, total, class_counts = gate_class_block(
+                plane_rows, bvc_rows, order_rows, group_rows, jnp.int32(a),
+                plane_cols, bvc_cols, order_cols, group_cols, jnp.int32(c),
+                tab, cache, d_row_ids, d_col_ids, w, val, sk.nk,
+                self._bounds_dev, budget=budget, n_pad=self.cache_n,
+                n_classes=n_cls)
+            borders_f = jnp.zeros((budget + CH_PAD,), jnp.bool_)
+            counts_f = jnp.zeros((budget + CH_PAD,), jnp.int32)
+            for cls_i in range(n_cls):
                 ch = self.count_chunks[cls_i]
-                n_sel = len(sel)
-                nc_real = -(-n_sel // ch)
-                n_chunks = NC_BUCKETS[0] if nc_real <= NC_BUCKETS[0] \
-                    else _pow2_at_least(nc_real, NC_BUCKETS[1])
-                arr = np.full((n_chunks * ch, 2), -1, np.int32)
-                arr[:n_sel, 0] = rows_f[sel]
-                arr[:n_sel, 1] = cols_f[sel]
-                arr[n_sel:, 1] = 0
                 hs_a, ps_a, hs_b, ps_b = self._class_tables(cls_i, rev)
-                w, cache, borders, border_any, cnt3 = fused0_chunks_batched(
-                    jnp.asarray(arr).reshape(n_chunks, ch, 2),
-                    jnp.int32(nc_real),
-                    d_row_ids, d_col_ids, hs_a, ps_a, sk.nk,
-                    hs_b, ps_b, sk.lens, self.score_min,
-                    jnp.float32(self.p.t_v), jnp.float32(self.var_band),
-                    val, w, cache, m0, self.p.kmer_size,
-                    self.p.hc_max_dist, self.cache_n,
+                w, cache, borders_f, counts_f = fused0_route(
+                    rc_flat, class_counts, c_pad_dev, d_row_ids, d_col_ids,
+                    hs_a, ps_a, sk.nk, hs_b, ps_b, sk.lens, self.score_min,
+                    tv, vband, val, w, cache, borders_f, counts_f,
+                    cls_i=cls_i, ch=ch, nc_max=budget // ch + 1, m_cap=m0,
+                    kmer_size=self.p.kmer_size,
+                    hc_max_dist=self.p.hc_max_dist, n_pad=self.cache_n,
                     use_pallas=self._pallas)
-                border_handles.append((rev, borders, arr))
-                border_any_acc = jnp.logical_or(border_any_acc, border_any)
-                count_handles.append((sel, n_sel, cnt3))
-            for sel, n_sel, got3 in count_handles:
-                counts[sel] = _fetch(got3).reshape(-1)[:n_sel]
-            _prof(f"fused0 n={len(rows_f)}", t0)
-
-            # ---- route the remainder: cheap reject, M tiers, overflow ----
-            mn = np.minimum(self.lens_host[ra], self.lens_host[rb])
-            min_num = self.score_min_host[mn]
-            # bases <= k * llis <= k * matches: definite lose, no LIS needed
-            alive = self.p.kmer_size * counts.astype(np.int64) >= min_num
-            rest = counts > m0  # tier-0 pairs were decided in the fused pass
-            overflow = counts > self.m_ladder[-1]
-            for i in np.nonzero(alive & overflow)[0]:
-                host_jobs.append((rev, int(ra[i]), int(rb[i]),
-                                  int(rows_f[i]), int(cols_f[i])))
-            tier_of = np.searchsorted(np.asarray(self.m_ladder), counts,
-                                      side="left")
-
-            # ---- score pass: ONE dispatch per (class, tier) route ----
-            t0 = time.time()
-            for cls_i in range(self.n_classes):
-                for tier_i, m_cap in enumerate(self.m_ladder):
-                    if tier_i == 0:
-                        continue  # decided in the fused pass
-                    sel = np.nonzero((cls_of == cls_i) & (tier_of == tier_i)
-                                     & alive & rest & ~overflow)[0]
-                    if len(sel) == 0:
-                        continue
+            score_rc, counts_mtx = tier_partition(
+                rc_flat, counts_f, c_pad_dev, d_row_ids, d_col_ids, sk.nk,
+                sk.lens, self.score_min, self._bounds_dev, budget=budget,
+                n_classes=n_cls, m_caps=self.m_ladder,
+                kmer_size=self.p.kmer_size)
+            borders_s = jnp.zeros((budget + CH_PAD,), jnp.bool_)
+            for cls_i in range(n_cls):
+                for tier_i in range(1, t_lad):
                     ch = self.score_chunks[cls_i][tier_i]
-                    n_sel = len(sel)
-                    nc_real = -(-n_sel // ch)
-                    n_chunks = NC_BUCKETS[0] if nc_real <= NC_BUCKETS[0] \
-                        else _pow2_at_least(nc_real, NC_BUCKETS[1])
-                    arr = np.full((n_chunks * ch, 2), -1, np.int32)
-                    arr[:n_sel, 0] = rows_f[sel]
-                    arr[:n_sel, 1] = cols_f[sel]
-                    arr[n_sel:, 1] = 0
+                    m_cap = self.m_ladder[tier_i]
                     hs_a, ps_a, hs_b, ps_b = self._class_tables(cls_i, rev)
-                    w, cache, borders, border_any = score_chunks_batched(
-                        jnp.asarray(arr).reshape(n_chunks, ch, 2),
-                        jnp.int32(nc_real),
-                        d_row_ids, d_col_ids, hs_a, ps_a, sk.nk,
-                        hs_b, ps_b, sk.lens, self.score_min,
-                        jnp.float32(self.p.t_v),
-                        jnp.float32(self.var_band), val, w, cache,
-                        m_cap, self.p.kmer_size, self.p.hc_max_dist,
-                        self.cache_n,
+                    w, cache, borders_s = score_route(
+                        score_rc, counts_mtx, c_pad_dev, d_row_ids,
+                        d_col_ids, hs_a, ps_a, sk.nk, hs_b, ps_b, sk.lens,
+                        self.score_min, tv, vband, val, w, cache,
+                        borders_s, cls_i=cls_i, tier_i=tier_i, ch=ch,
+                        nc_max=budget // ch + 1, m_cap=m_cap,
+                        kmer_size=self.p.kmer_size,
+                        hc_max_dist=self.p.hc_max_dist, n_pad=self.cache_n,
                         use_pallas=self._pallas and m_cap <= 2048)
-                    border_handles.append((rev, borders, arr))
-                    border_any_acc = jnp.logical_or(border_any_acc,
-                                                    border_any)
             self._cache[rev] = cache
-            _prof(f"score n={int((alive & ~overflow).sum())}", t0, w)
+            flags = jnp.stack([borders_f[:budget].any(),
+                               borders_s[:budget].any(),
+                               counts_mtx[:, t_lad].sum() > 0])
+            sdata.append(dict(rev=rev, rc=rc_flat, score_rc=score_rc,
+                              borders_f=borders_f, borders_s=borders_s,
+                              total=total, class_counts=class_counts,
+                              counts_mtx=counts_mtx, flags=flags))
 
-        # ---- borderline-variance pairs: exact f64 host rescore ----
-        if border_handles and bool(_fetch(border_any_acc)[0]):
+        replay = greedy_owner(w, jnp.int32(a)) if ordered else absorb_rest(w)
+        summary = wave_summary(
+            jnp.stack([d["total"] for d in sdata]),
+            jnp.stack([d["class_counts"] for d in sdata]),
+            jnp.stack([d["counts_mtx"] for d in sdata]),
+            jnp.stack([d["flags"] for d in sdata]), replay)
+        got = _fetch(summary)
+        ns = len(strands)
+        totals = got[:ns]
+        off = ns + ns * n_cls  # class counts ride along for profiling only
+        cmtx_all = got[off:off + ns * n_cls * (t_lad + 1)].reshape(
+            ns, n_cls, t_lad + 1)
+        off += ns * n_cls * (t_lad + 1)
+        flags_all = got[off:off + ns * 3].reshape(ns, 3)
+        off += ns * 3
+        packed = got[off:]
+        _prof(f"wave a={a} c={c} thr={threshold} tot={totals.tolist()}",
+              t0)
+
+        if int(totals.max()) > budget:
+            # gate overflow: redo the wave at the next budget (rare;
+            # decisions are idempotent, so recommitting is exact)
+            return self._wave(row_ids, col_ids, threshold, ordered,
+                              budget=_pow2_at_least(int(totals.max()),
+                                                    budget * 2))
+        if flags_all.any():
             t0 = time.time()
-            for rev, b, pc in border_handles:
-                # per-handle fetch: a device-side concat of per-call shape
-                # combos would recompile a trivial kernel every round
-                flags = _fetch(b).reshape(-1)
-                for i in np.nonzero(flags)[0]:
-                    r_, c_ = int(pc[i, 0]), int(pc[i, 1])
-                    if r_ < 0:
-                        continue
-                    host_jobs.append((rev, int(row_ids[r_]),
-                                      int(col_ids[c_]), r_, c_))
-            _prof(f"border flags ({len(host_jobs)} host jobs)", t0)
-        if host_jobs:
-            t0 = time.time()
-            patches = []
-            for rev, aa, bb, r_, c_, ok in self._host_rescore_batch(
-                    host_jobs):
-                if ok:
-                    patches.append((r_, c_, 1 if rev else 2))
-            if patches:
-                arr = np.asarray(patches, np.int32)
-                w = patch_wins(w, jnp.asarray(arr[:, 0]),
-                               jnp.asarray(arr[:, 1]),
-                               jnp.asarray(arr[:, 2]).astype(jnp.int8))
-            _prof(f"host rescore n={len(host_jobs)}", t0)
-        return w
+            for d, fl, cm in zip(sdata, flags_all, cmtx_all):
+                d["flags_host"] = fl
+                d["cmtx_host"] = cm
+            w, changed = self._rare_paths(w, sdata, row_ids, col_ids,
+                                          c_pad, budget)
+            if changed:
+                replay = greedy_owner(w, jnp.int32(a)) if ordered \
+                    else absorb_rest(w)
+                packed = _fetch(replay)
+            _prof("rare paths", t0)
+        return packed
+
+    def _rare_paths(self, w, sdata, row_ids, col_ids, c_pad, budget):
+        """Borderline-variance and match-count-overflow pairs: exact f64
+        host rescore (cluster.cpp exactness contract), patched into w."""
+        host_jobs: List[Tuple[bool, int, int, int, int]] = []
+        t_lad = len(self.m_ladder)
+        for d in sdata:
+            rev = d["rev"]
+            fl = d["flags_host"]
+
+            def add(rc_val):
+                r_, c_ = divmod(int(rc_val), c_pad)
+                host_jobs.append((rev, int(row_ids[r_]), int(col_ids[c_]),
+                                  r_, c_))
+
+            if fl[0]:
+                bf = _fetch(d["borders_f"])[:budget]
+                rc = _fetch(d["rc"])[:budget]
+                for i in np.nonzero(bf)[0]:
+                    if rc[i] >= 0:
+                        add(rc[i])
+            if fl[1] or fl[2]:
+                src = _fetch(d["score_rc"])[:budget]
+                if fl[1]:
+                    bs = _fetch(d["borders_s"])[:budget]
+                    for i in np.nonzero(bs)[0]:
+                        if src[i] >= 0:
+                            add(src[i])
+                if fl[2]:
+                    flat = d["cmtx_host"].reshape(-1)
+                    for cls_i in range(self.n_classes):
+                        idx = cls_i * (t_lad + 1) + t_lad
+                        o = int(flat[:idx].sum())
+                        for i in range(o, o + int(flat[idx])):
+                            if src[i] >= 0:
+                                add(src[i])
+        if not host_jobs:
+            return w, False
+        t0 = time.time()
+        patches = []
+        for rev, aa, bb, r_, c_, ok in self._host_rescore_batch(host_jobs):
+            if ok:
+                patches.append((r_, c_, 1 if rev else 2))
+        _prof(f"host rescore n={len(host_jobs)}", t0)
+        if not patches:
+            return w, False
+        arr = np.asarray(patches, np.int32)
+        w = patch_wins(w, jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1]),
+                       jnp.asarray(arr[:, 2]).astype(jnp.int8))
+        return w, True
 
     # ---------- frontier greedy ----------
 
@@ -902,10 +988,8 @@ class BulkClusterEngine:
                 print_progress(m - len(pool), m)
             blk = pool[:k]
             nb = len(blk)
-            w1 = self._decide(ids[blk], ids[blk], threshold, ordered=True)
-            t0 = time.time()
-            packed = _fetch(greedy_owner(w1, jnp.int32(nb)))[:nb]
-            _prof(f"replay block n={nb}", t0)
+            packed = self._wave(ids[blk], ids[blk], threshold,
+                                ordered=True)[:nb]
             o = packed >> 1
             owner[blk] = blk[o]
             revf[blk] = (packed & 1).astype(bool)
@@ -919,11 +1003,8 @@ class BulkClusterEngine:
             survivors = []
             for t0_col in range(0, len(rest), self.sweep_cpad):
                 tile = rest[t0_col:t0_col + self.sweep_cpad]
-                w2 = self._decide(ids[seeds], ids[tile], threshold,
-                                  ordered=False)
-                t0 = time.time()
-                pk = _fetch(absorb_rest(w2))[:len(tile)]
-                _prof(f"absorb rest n={len(tile)}", t0)
+                pk = self._wave(ids[seeds], ids[tile], threshold,
+                                ordered=False)[:len(tile)]
                 won = pk >= 0
                 owner[tile[won]] = seeds[(pk[won] >> 1)]
                 revf[tile[won]] = (pk[won] & 1).astype(bool)

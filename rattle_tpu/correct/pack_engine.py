@@ -20,9 +20,10 @@ groups sorts immediately before the next placed group on the path (key =
 next_placed_pos * SK + run_index), runs with no later placed target go at
 the end.
 
-Lanes that overflow capacity (nodes > N, predecessors > 8, group > 8
-members, reads longer than W-1) fall back to the host native aligner for
-the whole pack — identical semantics by construction.
+Lanes that overflow capacity (nodes > N, predecessors > PMAX=16, group
+> 8 members, reads longer than W-1) fall back to the host native aligner
+for the whole pack — identical semantics by construction (round-4 data:
+41 of 45 toyset fallbacks were PMAX=8 overflows, hence 16).
 
 Reference behavior: correct.cpp:377-478 (spoa keeps graphs in-core; this
 is the TPU equivalent).
@@ -71,6 +72,13 @@ def _cfg_for(lmax: int, n_reads: int, total: int):
     small = r_cap * w // 8
     tot_cap = small if total + r_cap <= small else r_cap * w
     return (w, n_cap, r_cap, tot_cap)
+
+
+def _pow2_at_least(x: int, lo: int) -> int:
+    p = lo
+    while p < x:
+        p *= 2
+    return p
 
 
 def _take(arr, idx):
@@ -130,24 +138,27 @@ def _step(st, t, match=5, mismatch=-4, go=-8, ge=-6):
     seq = seq.astype(jnp.int32)                       # [B, W] char at p
     slen = jax.lax.dynamic_index_in_dim(lens, t, axis=1, keepdims=False)
 
-    # ---- rank-space meta for the kernel ----
+    # ---- rank-space meta for the kernel: ONE stable multi-payload sort
+    # (node_rank is the permutation key) carries letters/npred/pred lanes
+    # into rank order; pred lanes stay NODE ids (+1, 0 = virtual start) and
+    # the kernel translates node->rank through a VMEM rank table.  The old
+    # build's [B, N*PMAX] arbitrary gathers ran at ~0.7 us/index on this
+    # TPU (44 ms/step at PMAX=16); the sort is ~2 ms. ----
     perm_c = jnp.clip(perm, 0, n - 1)
-    letters_r = _take(letters, perm_c)
-    npred_r = _take(npred, perm_c)
-    preds_n = _take(preds.reshape(b, -1),
-                    (perm_c[:, :, None] * PMAX
-                     + jnp.arange(PMAX, dtype=jnp.int32)[None, None, :]))
-    pr_rank = jnp.where(
-        preds_n >= 0, _take(node_rank, jnp.clip(preds_n, 0, n - 1)) + 1, 0)
-    meta = jnp.concatenate(
-        [pr_rank, letters_r[:, :, None], jnp.maximum(npred_r, 1)[:, :, None],
-         jnp.zeros((b, n, META_W - PMAX - 2), jnp.int32)],
+    ops = jax.lax.sort(
+        [node_rank, letters, npred]
+        + [preds[:, :, k] for k in range(PMAX)],
+        dimension=1, num_keys=1, is_stable=True)
+    meta = jnp.stack(
+        [o + 1 for o in ops[3:]]
+        + [ops[1], jnp.maximum(ops[2], 1)]
+        + [jnp.zeros((b, n), jnp.int32)] * (META_W - PMAX - 2),
         axis=2).astype(jnp.int16)
     seq_sh = jnp.pad(seq[:, :w - 1], ((0, 0), (1, 0)))
     seq_sh = seq_sh.reshape(b, w // 128, 128)
 
     packed, tlen, best = poa_align_pallas(
-        meta, n_nodes, seq_sh, slen, active.astype(jnp.int32),
+        meta, n_nodes, seq_sh, slen, active.astype(jnp.int32), node_rank,
         match=match, mismatch=mismatch, go=go, ge=ge)
     aligned = (best > 0) & (n_nodes > 0)
 
@@ -167,9 +178,8 @@ def _step(st, t, match=5, mismatch=-4, go=-8, ge=-6):
     direct = (m_node >= 0) & (m_letter == seq)
     leader = _take(grp_leader, jnp.clip(m_node, 0, n - 1))
     gsz = _take(grp_size, jnp.clip(leader, 0, n - 1))
-    mem = _take(members.reshape(b, -1),
-                jnp.clip(leader, 0, n - 1)[:, :, None] * GA
-                + jnp.arange(GA, dtype=jnp.int32)[None, None, :])
+    mem = jnp.take_along_axis(members, jnp.clip(leader, 0, n - 1)[:, :, None],
+                              axis=1)
     mem_letters = _take(letters, jnp.clip(mem, 0, n - 1))
     iota_g = jnp.arange(GA, dtype=jnp.int32)[None, None, :]
     mem_ok = (iota_g < gsz[:, :, None]) & (mem_letters == seq[:, :, None]) \
@@ -211,9 +221,7 @@ def _step(st, t, match=5, mismatch=-4, go=-8, ge=-6):
     prevt = jnp.pad(target[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
     em = wmask & (iota_w >= 1) & (prevt >= 0) & (prevt != target)
     tgt_c = jnp.clip(target, 0, n - 1)
-    tpred = _take(preds.reshape(b, -1),
-                  tgt_c[:, :, None] * PMAX
-                  + jnp.arange(PMAX, dtype=jnp.int32)[None, None, :])
+    tpred = jnp.take_along_axis(preds, tgt_c[:, :, None], axis=1)
     npr_t = _take(npred, tgt_c)
     iota_p = jnp.arange(PMAX, dtype=jnp.int32)[None, None, :]
     exists = ((tpred == prevt[:, :, None])
@@ -250,14 +258,16 @@ def _step(st, t, match=5, mismatch=-4, go=-8, ge=-6):
                      grp_pos * SK + HALF, BIG)
     keys = keys.at[bidx, p_or_n].set(key_new, mode="drop")
 
-    order = jnp.argsort(keys, axis=1, stable=True).astype(jnp.int32)
+    _, order, gsz_s = jax.lax.sort(
+        [keys, jnp.broadcast_to(iota_n, (b, n)), grp_size],
+        dimension=1, num_keys=1, is_stable=True)
     n_groups_new = jnp.where(ok, n_groups + (purenew & wmask).sum(axis=1),
                              n_groups)
     n_nodes_new = jnp.where(ok, n_nodes + jnp.where(ok, n_new, 0), n_nodes)
     live_pos = iota_n < n_groups_new[:, None]
     grp_pos = grp_pos.at[bidx, jnp.where(live_pos, order, n)].set(
         iota_n + jnp.zeros_like(order), mode="drop")
-    sz_sorted = jnp.where(live_pos, _take(grp_size, order), 0)
+    sz_sorted = jnp.where(live_pos, gsz_s, 0)
     starts = jnp.cumsum(sz_sorted, axis=1, dtype=jnp.int32) - sz_sorted
     posn = _take(grp_pos, jnp.clip(grp_leader, 0, n - 1))
     rank_new = _take(starts, jnp.clip(posn, 0, n - 1)) + member_idx
@@ -375,10 +385,13 @@ class PackEngine:
         import sys as _sys
         (w, n_cap, r_cap, tot_cap), _, _ = group[0]
         ids = [i for _, _, i in group]
-        # pad to the config's full lane count: inactive lanes are cheap,
-        # and a single (b, n, r, tot) shape per config keeps the ~30 s
-        # remote compiles bounded
-        b = self._lanes((w, n_cap, r_cap, tot_cap))
+        # lane count: pow2 just covering the group.  The kernel grid runs
+        # its programs SEQUENTIALLY on the one core, so padding a 10-pack
+        # group to the config's 64-lane cap paid ~6x the kernel time for
+        # nothing (round-5 measurement); pow2 buckets keep the compile
+        # variants bounded at log2(cap) per config
+        b = min(self._lanes((w, n_cap, r_cap, tot_cap)),
+                _pow2_at_least(len(ids), 8))
         debug_t0 = None
         if _os.environ.get("RATTLE_POA_DEBUG"):
             import time as _time

@@ -25,9 +25,9 @@ Memory architecture (mosaic constraints + measured costs drove it):
   registers.
 * The traceback reads D and the rank metadata through 64-row windows
   DMA'd from HBM on demand (the walk is mostly rank-monotonic).
-* Per-rank scalars ride in ``meta`` [B, N, 16] int16 (lanes 0..7 pred
-  rank+1 with 0 = virtual start, lane 8 letter, lane 9 npred>=1), windowed
-  from HBM 64 ranks at a time.
+* Per-rank scalars ride in ``meta`` [B, N, META_W] int16 (lanes
+  0..PMAX-1 pred rank+1 with 0 = virtual start, lane PMAX letter, lane
+  PMAX+1 npred>=1), windowed from HBM 64 ranks at a time.
 * The row recurrence is a ~25-op dependency chain (the E prefix-max alone
   is log2(W) serial rounds); each program runs LANES_PER_PROGRAM packs
   with independent instruction streams to fill the latency-bound pipeline.
@@ -35,8 +35,9 @@ Memory architecture (mosaic constraints + measured costs drove it):
   traceback moves are emitted ((rank+1) << 16 | (pos+1), reversed order) —
   gap entries never influence threading, and this keeps the slow SMEM
   output DMA at W*4 bytes.
-* dir word: bits 0-3 H-source (0 stop, 1..8 diagonal via pred k-1, 9 F,
-  10 E), bits 4-6 F pred index, bit 7 F-extend, bit 8 E-extend.
+* dir word: bits 0-4 H-source (0 stop, 1..PMAX diagonal via pred k-1,
+  PMAX+1 F, PMAX+2 E), bits 5-8 F pred index, bit 9 F-extend, bit 10
+  E-extend.
 
 The pack engine (correct/pack_engine.py) builds the rank-space inputs from
 node-space graph state on device each read step.
@@ -54,30 +55,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(2**30)
 CLAMP16 = -16384
-PMAX = 8
-META_W = 16            # meta lanes: 8 preds + letter + npred
-RING = 512             # H/F/D ring rows resident in VMEM
+PMAX = 16
+META_W = 32            # meta lanes: 16 preds + letter + npred
+RING = 256             # H/F/D ring rows resident in VMEM
 DHALF = RING // 2
 MWIN = 64              # meta / traceback D window rows
 W = 1024               # default column count (pack engine config A)
 
 
 def lanes_per_program(w: int) -> int:
+    """Independent lanes interleaved per program: the row recurrence is a
+    latency-bound serial chain, so more instruction streams fill the
+    pipeline — bounded by VMEM (3 DP rings + windows per lane)."""
     rs = w // 128
     ring_bytes = 3 * RING * rs * 128 * 2
     per_lane = ring_bytes + (MWIN * rs * 128 * 2) + 64 * 1024
-    lp = max(1, (13 * 2**20) // per_lane)
-    return min(4, 1 << (lp.bit_length() - 1))
+    lp = max(1, (15 * 2**20) // per_lane)
+    return min(8, 1 << (lp.bit_length() - 1))
 
 
 def _make_kernel(match, mismatch, go, ge, n, w, np_lanes):
     rs = w // 128
 
     def kernel(*refs):
-        meta_hbm, nn_ref, seq_ref, slen_ref, act_ref = refs[:5]
-        packed_ref, tlen_ref, best_ref = refs[5:8]
-        hbmH, hbmF, hbmD = refs[8:11]           # [B, rows, 128] backing
-        scr = refs[11:]
+        meta_hbm, nn_ref, seq_ref, slen_ref, act_ref, rank_ref = refs[:6]
+        packed_ref, tlen_ref, best_ref = refs[6:9]
+        hbmH, hbmF, hbmD = refs[9:12]           # [B, rows, 128] backing
+        scr = refs[12:]
         M = list(range(np_lanes))
         lane0 = pl.program_id(0) * np_lanes
         ringH = scr[0:np_lanes]
@@ -95,8 +99,21 @@ def _make_kernel(match, mismatch, go, ge, n, w, np_lanes):
         sub8 = jax.lax.broadcasted_iota(jnp.int32, (rs, 128), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (rs, 128), 1)
         cs = sub8 * 128 + lane
-        msub = jax.lax.broadcasted_iota(jnp.int32, (MWIN, 128), 0)
-        mlane = jax.lax.broadcasted_iota(jnp.int32, (MWIN, 128), 1)
+        s8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        l8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+        def pr_of(m, v):
+            """meta pred lane value (0 = virtual start, else node+1) ->
+            row (0 = virtual start, else rank+1) via the VMEM rank table.
+            An 8-sublane block slice + one-vreg masked reduce (~8 ops);
+            the rank-space translation used to be a [B, N*PMAX] arbitrary
+            gather on the host side of the step (44 ms measured)."""
+            node = jnp.clip(v - 1, 0, n)
+            off = pl.multiple_of((node // 1024) * 8, 8)
+            blk = rank_ref[m, pl.ds(off, 8), :].astype(jnp.int32)
+            rk = jnp.sum(jnp.where((s8 == (node // 128) % 8)
+                                   & (l8 == node % 128), blk, 0))
+            return jnp.where(v == 0, 0, rk + 1)
         cs_ge1 = cs >= 1
         lane_lt = {s: lane < s for s in (1, 2, 4, 8, 16, 32, 64)}
         cs_ge = {}
@@ -200,14 +217,18 @@ def _make_kernel(match, mismatch, go, ge, n, w, np_lanes):
                     def _(m=m):
                         flush_wait(m, (x // DHALF) % 2)
 
+            rloc = r % MWIN
+            boff = pl.multiple_of((rloc // 8) * 8, 8)
+            srow = rloc % 8
             sel, letter, np_r, pr0 = [], [], [], []
             for m in M:
-                mr = jnp.where(msub == r % MWIN,
-                               mwin[m][:].astype(jnp.int32), 0)
+                mr = jnp.where(
+                    s8 == srow,
+                    mwin[m][pl.ds(boff, 8), :].astype(jnp.int32), 0)
                 sel.append(mr)
-                letter.append(jnp.sum(jnp.where(mlane == 8, mr, 0)))
-                np_r.append(jnp.sum(jnp.where(mlane == 9, mr, 0)))
-                pr0.append(jnp.sum(jnp.where(mlane == 0, mr, 0)))
+                letter.append(jnp.sum(jnp.where(l8 == PMAX, mr, 0)))
+                np_r.append(jnp.sum(jnp.where(l8 == PMAX + 1, mr, 0)))
+                pr0.append(pr_of(m, jnp.sum(jnp.where(l8 == 0, mr, 0))))
             chain = [(np_r[m] == 1) & (pr0[m] == r) for m in M]
 
             def pred_rows(m, pr):
@@ -259,7 +280,7 @@ def _make_kernel(match, mismatch, go, ge, n, w, np_lanes):
                 for m in M:
                     def pred_body(k, a, m=m):
                         a_h, arg_h, b_f, arg_f, ext_f = a
-                        pr = jnp.sum(jnp.where(mlane == k, sel[m], 0))
+                        pr = pr_of(m, jnp.sum(jnp.where(l8 == k, sel[m], 0)))
                         hl, fl = pred_rows(m, pr)
                         fk = jnp.maximum(hl + go, fl + ge)
                         ek = ((fl + ge) >= (hl + go)).astype(jnp.int32)
@@ -296,13 +317,13 @@ def _make_kernel(match, mismatch, go, ge, n, w, np_lanes):
                 e = jnp.where(cs_ge1, e, NEG)
                 h = jnp.maximum(a, e)
 
-                dir_h = jnp.where(e == h, 10, 0)
-                dir_h = jnp.where(f == h, 9, dir_h)
+                dir_h = jnp.where(e == h, PMAX + 2, 0)
+                dir_h = jnp.where(f == h, PMAX + 1, dir_h)
                 dir_h = jnp.where(diag == h, 1 + arg_diag, dir_h)
                 dir_h = jnp.where(h == 0, 0, dir_h)
                 e_ext = ((e == shift_flat(e, 1, NEG) + ge)
                          & cs_ge1).astype(jnp.int32)
-                d = (dir_h | (arg_f << 4) | (ext_f << 7) | (e_ext << 8))
+                d = (dir_h | (arg_f << 5) | (ext_f << 9) | (e_ext << 10))
 
                 @pl.when(live[m])
                 def _(m=m, h=h, f=f, d=d):
@@ -369,9 +390,11 @@ def _make_kernel(match, mismatch, go, ge, n, w, np_lanes):
             return jnp.sum(jnp.where(cs == j, drow, 0)) & 0xFFFF
 
         def meta_at(m, r, k, mbase):
-            mr = jnp.where(msub == r - mbase, mwin[m][:].astype(jnp.int32),
-                           0)
-            return jnp.sum(jnp.where(mlane == k, mr, 0))
+            loc = r - mbase
+            boff = pl.multiple_of(jnp.clip((loc // 8) * 8, 0, MWIN - 8), 8)
+            mr = jnp.where(s8 == loc % 8,
+                           mwin[m][pl.ds(boff, 8), :].astype(jnp.int32), 0)
+            return jnp.sum(jnp.where(l8 == k, mr, 0))
 
         def tb_cond(st):
             done = st[0][0] == 3
@@ -409,26 +432,28 @@ def _make_kernel(match, mismatch, go, ge, n, w, np_lanes):
                 d = d_at(m, r, j, dbase)
 
                 def in_h(m=m, d=d, r=r, j=j, rm1=rm1, mbase=mbase):
-                    dh = d & 15
+                    dh = d & 31
                     stop = (r == 0) | (dh == 0)
                     is_diag = (dh >= 1) & (dh <= PMAX) & ~stop
-                    pr = meta_at(m, rm1, jnp.clip(dh - 1, 0, PMAX - 1),
-                                 mbase)
+                    pr = pr_of(m, meta_at(m, rm1,
+                                          jnp.clip(dh - 1, 0, PMAX - 1),
+                                          mbase))
                     emit = jnp.where(is_diag, (r << 16) | j, 0)
                     ns = jnp.where(stop, 3,
                                    jnp.where(is_diag, 0,
-                                             jnp.where(dh == 10, 1, 2)))
+                                             jnp.where(dh == PMAX + 2,
+                                                       1, 2)))
                     nr = jnp.where(is_diag, pr, r)
                     nj = jnp.where(is_diag, j - 1, j)
                     return ns, nr, nj, emit
 
                 def in_e(d=d, r=r, j=j):
-                    ext = (d >> 8) & 1
+                    ext = (d >> 10) & 1
                     return jnp.where(ext == 1, 1, 0), r, j - 1, jnp.int32(0)
 
                 def in_f(m=m, d=d, r=r, j=j, rm1=rm1, mbase=mbase):
-                    ext = (d >> 7) & 1
-                    pr = meta_at(m, rm1, (d >> 4) & 7, mbase)
+                    ext = (d >> 9) & 1
+                    pr = pr_of(m, meta_at(m, rm1, (d >> 5) & 15, mbase))
                     return jnp.where(ext == 1, 2, 0), pr, j, jnp.int32(0)
 
                 ns, nr, nj, emit = jax.lax.switch(
@@ -461,14 +486,18 @@ def _make_kernel(match, mismatch, go, ge, n, w, np_lanes):
 @functools.partial(
     jax.jit,
     static_argnames=("match", "mismatch", "go", "ge", "interpret"))
-def poa_align_pallas(meta, n_nodes, seq_sh, seq_len, active,
+def poa_align_pallas(meta, n_nodes, seq_sh, seq_len, active, rank_tab,
                      match: int = 5, mismatch: int = -4, go: int = -8,
                      ge: int = -6, interpret: Optional[bool] = None):
-    """meta [B, N, 16] int16 (lanes 0..7 pred rank+1 with 0 = virtual
-    start, lane 8 letter, lane 9 npred >= 1); n_nodes [B]; seq_sh
-    [B, RS, 128] i32 (flat column j = char j-1, column 0 unused; W =
-    RS*128); seq_len [B]; active [B].  Returns (packed [B, W] of diagonal
-    moves (rank+1)<<16 | (pos+1) in reverse order, count, best score)."""
+    """meta [B, N, META_W] int16 (lanes 0..PMAX-1 pred NODE+1 with 0 =
+    virtual start, lane PMAX letter, lane PMAX+1 npred >= 1); n_nodes [B];
+    seq_sh [B, RS, 128] i32 (flat column j = char j-1, column 0 unused;
+    W = RS*128); seq_len [B]; active [B]; rank_tab [B, N] int16 node->rank
+    (the kernel translates pred nodes to ranks through a VMEM-resident
+    table — shipping ranks directly required a pathological [B, N*PMAX]
+    arbitrary gather on the step's XLA side).  Returns (packed [B, W] of
+    diagonal moves (rank+1)<<16 | (pos+1) in reverse order, count, best
+    score)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, n, mw = meta.shape
@@ -491,6 +520,8 @@ def poa_align_pallas(meta, n_nodes, seq_sh, seq_len, active,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((lp, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((lp, n // 128, 128), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
     ]
     out_specs = [
         pl.BlockSpec((lp, 1, w), lambda i: (i, 0, 0),
@@ -534,6 +565,7 @@ def poa_align_pallas(meta, n_nodes, seq_sh, seq_len, active,
     )(jnp.pad(meta, ((0, 0), (0, 0), (0, 128 - mw)))
       .reshape(b, n // MWIN, MWIN, 128),
       n_nodes.reshape(b, 1, 1), seq_sh, seq_len.reshape(b, 1, 1),
-      active.reshape(b, 1, 1))
+      active.reshape(b, 1, 1),
+      rank_tab.astype(jnp.int16).reshape(b, n // 128, 128))
     packed, tlen, best = outs[0], outs[1], outs[2]
     return packed[:, 0], tlen[:, 0, 0], best[:, 0, 0]
