@@ -259,7 +259,8 @@ def main():
     try:
         if backend == "host":
             raise RuntimeError("host backend requested")
-        with stage_budget(1100):
+        with stage_budget(float(os.environ.get(
+                "RATTLE_BENCH_CLUSTER_BUDGET", "1100"))):
             clusters, cold = run_cluster_once(seqs, params)
         log(f"cold:  {cold['total']:.2f}s  (sketch {cold['sketch']:.2f} "
             f"greedy {cold.get('greedy', 0):.2f} "

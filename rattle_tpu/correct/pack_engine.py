@@ -368,9 +368,14 @@ class PackEngine:
             self._run_group(group, all_seqs, results,
                             (match, mismatch, go, ge), to_host)
         if pool is not None:
+            import time
+            t0 = time.time()
             for i, fut in futures.items():
                 results[i] = fut.result()
             pool.shutdown()
+            self.stats.setdefault("host_wait_s", 0.0)
+            self.stats["host_wait_s"] = round(
+                self.stats["host_wait_s"] + time.time() - t0, 2)
         return results
 
     def _lanes(self, cfg) -> int:
@@ -383,6 +388,12 @@ class PackEngine:
     def _run_group(self, group, all_seqs, results, params, to_host=None):
         import os as _os
         import sys as _sys
+        import time as _time
+
+        def mark(key, t0):
+            self.stats[key] = round(self.stats.get(key, 0.0)
+                                    + _time.time() - t0, 2)
+            return _time.time()
         (w, n_cap, r_cap, tot_cap), _, _ = group[0]
         ids = [i for _, _, i in group]
         # lane count: pow2 just covering the group.  The kernel grid runs
@@ -400,6 +411,7 @@ class PackEngine:
             print(f"[pack_engine] group w={w} n={n_cap} r={r_cap} "
                   f"tot={tot_cap} packs={len(ids)} max_reads={mx}",
                   file=_sys.stderr, flush=True)
+        tmark = _time.time()
         seqs_arr = np.zeros((b, r_cap, w), np.int8)
         lens = np.zeros((b, r_cap), np.int32)
         n_reads = np.zeros((b,), np.int32)
@@ -410,6 +422,7 @@ class PackEngine:
                 lens[li, t] = len(raw)
             n_reads[li] = len(all_seqs[i])
 
+        tmark = mark("t_fill_s", tmark)
         st = _init_state(jnp.asarray(seqs_arr), jnp.asarray(lens),
                          jnp.asarray(n_reads), n_cap=n_cap, r_cap=r_cap,
                          tot_cap=tot_cap)
@@ -429,7 +442,18 @@ class PackEngine:
                 print(f"[pack_engine]   step {t}/{max_reads}",
                       file=_sys.stderr, flush=True)
         self.stats["steps"] += max_reads
-        cols, n_groups, n_nodes, fb = (np.asarray(x) for x in _finalize(st))
+        tmark = mark("t_steps_s", tmark)
+        cols_d, n_groups_d, n_nodes_d, fb_d = _finalize(st)
+        # fetch only the used path prefix: d2h runs ~20 MB/s through the
+        # relay and the padded [b, tot_cap] int16 block is up to 32 MB;
+        # pow2 buckets keep the slice shapes (hence transfers) bounded
+        used = int(lens.sum(axis=1).max())
+        tot_fetch = min(tot_cap, _pow2_at_least(max(used, 1), 1024))
+        cols = np.asarray(jax.lax.slice(cols_d, (0, 0), (cols_d.shape[0],
+                                                         tot_fetch)))
+        n_groups, n_nodes, fb = (np.asarray(x) for x in
+                                 (n_groups_d, n_nodes_d, fb_d))
+        tmark = mark("t_fetch_s", tmark)
         if debug_t0 is not None:
             import time as _time
             print(f"[pack_engine]   group done in {_time.time()-debug_t0:.1f}s",
@@ -459,3 +483,4 @@ class PackEngine:
                 rows.append(row.tobytes().decode("ascii"))
                 off += ln
             results[i] = rows
+        mark("t_decode_s", tmark)

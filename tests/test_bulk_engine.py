@@ -72,3 +72,30 @@ def test_bulk_with_revcomp_members(rng):
     golden = oracle.cluster_reads(seqs, params)
     got = BulkClusterEngine(seqs, params).cluster()
     assert _sig(got) == _sig(golden)
+
+
+def test_bulk_rare_path_all_borderline(synthetic_families):
+    """Force EVERY score-passing pair through the borderline-variance rare
+    path (host f64 rescore + patch + replay re-fetch): with a huge variance
+    band no pair decides on device, so the wave's border machinery carries
+    the whole clustering.  Must still equal the oracle exactly."""
+    seqs = _sorted_reads(synthetic_families)
+    params = ClusterParams(is_rna=True)
+    golden = oracle.cluster_reads(seqs, params)
+    eng = BulkClusterEngine(seqs, params)
+    eng.var_band = np.float32(1e12)
+    got = eng.cluster()
+    assert eng.n_oracle_fallbacks > 0  # the rare path actually ran
+    assert _sig(got) == _sig(golden)
+
+
+def test_bulk_rare_path_overflow_tier(synthetic_families):
+    """Force the match-count overflow tier (exact host scorer): a 1-entry
+    M ladder makes every pair with more matches than tier 0 overflow."""
+    seqs = _sorted_reads(synthetic_families)
+    params = ClusterParams(is_rna=True)
+    golden = oracle.cluster_reads(seqs, params)
+    eng = BulkClusterEngine(seqs, params)
+    eng.m_ladder = (eng.m_ladder[0],)
+    got = eng.cluster()
+    assert _sig(got) == _sig(golden)

@@ -54,3 +54,29 @@ def test_containment_floor(consensi, cid, floor):
              if int(x.header.split()[0].rsplit("_", 1)[1]) == cid)
     got = kmer_containment(g, consensi[cid])
     assert got >= floor, f"cluster {cid}: containment {got:.3f} < {floor}"
+
+
+@pytest.mark.timeout(900)
+def test_sampled_toyset_floor():
+    """Sampled full-toyset consensus floor (round-4 verdict ask): every 4th
+    golden-consensus cluster (~44 of 175), mean 20-mer containment >= 0.95.
+    The per-cluster CASES above pin individual semantics; this pins the
+    population level."""
+    if not os.path.isdir(REF_OUT):
+        pytest.skip("reference goldens unavailable")
+    reads = fastx.read_multiple_inputs([SAMPLE], [])
+    clusters = hpsio.read_clusters(os.path.join(REF_OUT, "clusters.out"))
+    golden = fastx.read_fastq_plain(os.path.join(REF_OUT, "consensi.fq"))
+    gold_of = {int(x.header.split()[0].rsplit("_", 1)[1]): x.seq
+               for x in golden}
+    sample_ids = sorted(gold_of)[::4]
+    sub = [clusters[cid] for cid in sample_ids]
+    res = correct_reads(sub, reads, CorrectParams())
+    scores = []
+    for r in res.consensi:
+        sub_idx = int(r.header.split()[0].rsplit("_", 1)[1])
+        cid = sample_ids[sub_idx]
+        scores.append(kmer_containment(gold_of[cid], r.seq))
+    assert len(scores) == len(sample_ids)
+    mean = sum(scores) / len(scores)
+    assert mean >= 0.95, (mean, sorted(scores)[:5])
