@@ -351,16 +351,19 @@ class PackEngine:
                 to_host(i, total,
                         "reads" if len(seqs) > 256 else "length")
                 continue
-            jobs.append((cfg, total, i))
+            # group by READ COUNT within a config: the lockstep group runs
+            # max(n_reads) steps, so mixing a 30-read pack into a 200-read
+            # group wastes 170 idle steps on its lane
+            jobs.append((cfg, len(seqs), i))
 
         jobs.sort()
         groups = []
         cur = []
-        for cfg, total, i in jobs:
+        for cfg, _nr, i in jobs:
             if cur and (cfg != cur[0][0] or len(cur) >= self._lanes(cfg)):
                 groups.append(cur)
                 cur = []
-            cur.append((cfg, total, i))
+            cur.append((cfg, _nr, i))
         if cur:
             groups.append(cur)
 
