@@ -91,13 +91,14 @@ SWEEP_TILE = 1 << 16
 # which is bounded by the (much smaller) representative count
 CACHE_MAX_N = 1 << 14
 
-_PROFILE = bool(os.environ.get("RATTLE_PROFILE"))
+_PROFILE = int(os.environ.get("RATTLE_PROFILE", "0") or "0")
 
 
-def _prof(label: str, t_start, sync_on=None):
-    """Section timing (RATTLE_PROFILE=1); syncs via a 1-element fetch (a
-    rank-0 fetch stalls minutes on the axon relay; rank-1 does not)."""
-    if not _PROFILE:
+def _prof(label: str, t_start, sync_on=None, level: int = 1):
+    """Section timing (RATTLE_PROFILE=1; =2 adds intra-wave sections);
+    syncs via a 1-element fetch (a rank-0 fetch stalls minutes on the axon
+    relay; rank-1 does not)."""
+    if _PROFILE < level:
         return
     if sync_on is not None:
         np.asarray(jnp.ravel(sync_on)[:1])
@@ -257,8 +258,12 @@ def _score_body(rows, cols, row_ids, col_ids, hs_a, ps_a, nk, hs_b, ps_b,
         jnp.minimum(total, m_cap)[:, None]
     if use_pallas:
         from ..ops.pallas_kernels import lis_filter_pallas
+        # dynamic scan bound: the LIS kernel's three M-step loops truncate
+        # at this chunk's max match count (tier_partition count-sorts the
+        # routes, so chunks are count-homogeneous and the bound is tight)
+        bound = jnp.max(jnp.where(act, jnp.minimum(total, m_cap), 0))
         bases, _hc, n_dist, var = lis_filter_pallas(
-            p1, p2, mvalid, kmer_size, hc_max_dist)
+            p1, p2, mvalid, kmer_size, hc_max_dist, bound=bound)
     else:
         p_pred, m_idx, l = lis_build_select(p2, mvalid)
         s_arr = lis_reconstruct_select(p_pred, m_idx, l)
@@ -366,10 +371,14 @@ def tier_partition(rc_flat, counts_flat, c_pad, row_ids, col_ids, nk, lens,
         tier = tier + (cnt > m).astype(jnp.int32)
     tierkey = jnp.where((tier == 0) | reject, 0, tier)
     key = jnp.where(act, cls * (t + 1) + tierkey, INT32_MAX)
-    order = jnp.argsort(key, stable=True).astype(jnp.int32)
-    keep = (jnp.take(key, order) % (t + 1) != 0) \
-        & (jnp.take(key, order) != INT32_MAX)
-    score_rc = jnp.where(keep, jnp.take(rc, order), -1)
+    # secondary count sort: within a (class, tier) route pairs ascend by
+    # match count, so the blind score chunks are count-homogeneous and the
+    # LIS kernel's dynamic bound (see _score_body) stays tight per chunk
+    key_s, _cnt_s, rc_s = jax.lax.sort(
+        (key, jnp.clip(cnt, 0, INT32_MAX - 1), rc), num_keys=2,
+        is_stable=True)
+    keep = (key_s % (t + 1) != 0) & (key_s != INT32_MAX)
+    score_rc = jnp.where(keep, rc_s, -1)
     score_rc = jnp.pad(score_rc, (0, CH_PAD), constant_values=-1)
     kk = jnp.arange(n_classes * (t + 1), dtype=jnp.int32)
     counts_mtx = (key[None, :] == kk[:, None]).sum(
@@ -828,6 +837,7 @@ class BulkClusterEngine:
         strands = [False] if self.p.is_rna else [False, True]
         sdata = []
         t0 = time.time()
+        tsec = time.time()
         for rev in strands:
             if rev:
                 plane_cols = jnp.take(sk.rev_plane, d_col_ids, axis=0)
@@ -841,6 +851,8 @@ class BulkClusterEngine:
                 tab, cache, d_row_ids, d_col_ids, w, val, sk.nk,
                 self._bounds_dev, budget=budget, n_pad=self.cache_n,
                 n_classes=n_cls)
+            _prof("  gate", tsec, sync_on=rc_flat, level=2)
+            tsec = time.time()
             borders_f = jnp.zeros((budget + CH_PAD,), jnp.bool_)
             counts_f = jnp.zeros((budget + CH_PAD,), jnp.int32)
             for cls_i in range(n_cls):
@@ -854,11 +866,16 @@ class BulkClusterEngine:
                     kmer_size=self.p.kmer_size,
                     hc_max_dist=self.p.hc_max_dist, n_pad=self.cache_n,
                     use_pallas=self._pallas)
+                _prof(f"  fused0 cls={cls_i}", tsec, sync_on=counts_f,
+                      level=2)
+                tsec = time.time()
             score_rc, counts_mtx = tier_partition(
                 rc_flat, counts_f, c_pad_dev, d_row_ids, d_col_ids, sk.nk,
                 sk.lens, self.score_min, self._bounds_dev, budget=budget,
                 n_classes=n_cls, m_caps=self.m_ladder,
                 kmer_size=self.p.kmer_size)
+            _prof("  tier_partition", tsec, sync_on=score_rc, level=2)
+            tsec = time.time()
             borders_s = jnp.zeros((budget + CH_PAD,), jnp.bool_)
             for cls_i in range(n_cls):
                 for tier_i in range(1, t_lad):
@@ -874,6 +891,9 @@ class BulkClusterEngine:
                         kmer_size=self.p.kmer_size,
                         hc_max_dist=self.p.hc_max_dist, n_pad=self.cache_n,
                         use_pallas=self._pallas and m_cap <= 2048)
+                    _prof(f"  score cls={cls_i} tier={tier_i}", tsec,
+                          sync_on=borders_s, level=2)
+                    tsec = time.time()
             self._cache[rev] = cache
             flags = jnp.stack([borders_f[:budget].any(),
                                borders_s[:budget].any(),
@@ -901,6 +921,8 @@ class BulkClusterEngine:
         packed = got[off:]
         _prof(f"wave a={a} c={c} thr={threshold} tot={totals.tolist()}",
               t0)
+        _prof(f"  cls_counts={got[ns:ns + ns * n_cls].tolist()} "
+              f"cmtx={cmtx_all.tolist()}", t0, level=2)
 
         if int(totals.max()) > budget:
             # gate overflow: redo the wave at the next budget (rare;

@@ -123,8 +123,14 @@ def _pow2_floor(x: int) -> int:
 
 
 def _lis_kernel_body(m: int, tb: int, kmer_size: int, hc_max_dist: int):
-    def kernel(p1_ref, p2_ref, valid_ref, bases_ref, hc_ref, ndist_ref,
-               var_ref, tails, m_idx, p_pred, a1b, a2b, distb):
+    def kernel(bound_ref, p1_ref, p2_ref, valid_ref, bases_ref, hc_ref,
+               ndist_ref, var_ref, tails, m_idx, p_pred, a1b, a2b, distb):
+        # dynamic step bound: every pair in this launch has at most
+        # ``bound`` valid matches (the count-first router sorts pairs by
+        # count, so chunks are count-homogeneous); all three phases walk
+        # indices < the pair's match count, so truncating the loops at the
+        # batch max is exact and saves (m - bound)/m of the scan cost
+        bound = jnp.clip(bound_ref[0], 0, m)
         rows1 = jax.lax.broadcasted_iota(jnp.int32, (m + 1, tb), 0)
         rowsm = jax.lax.broadcasted_iota(jnp.int32, (m, tb), 0)
         tails[:] = jnp.where(rows1 == 0, NEG_I32, BIG_I32).astype(jnp.int32)
@@ -148,7 +154,8 @@ def _lis_kernel_body(m: int, tb: int, kmer_size: int, hc_max_dist: int):
             tails[:] = jnp.where(upd, v, t)
             return jnp.where(ok, jnp.maximum(l, lvl), l)
 
-        l = jax.lax.fori_loop(0, m, build, jnp.zeros((1, tb), jnp.int32))
+        l = jax.lax.fori_loop(0, bound, build,
+                              jnp.zeros((1, tb), jnp.int32))
 
         # phase 2: backward reconstruction, emitting anchor values in
         # forward order (similarity.cpp:37-44)
@@ -166,7 +173,7 @@ def _lis_kernel_body(m: int, tb: int, kmer_size: int, hc_max_dist: int):
             k_next = jnp.where(sel_k, p_pred[:], 0).sum(axis=0)[None, :]
             return jnp.where(active, k_next, k)
 
-        jax.lax.fori_loop(0, m, rec, k0)
+        jax.lax.fori_loop(0, bound, rec, k0)
 
         # phase 3: forward anchor filter (similarity.cpp:52-85)
         z = jnp.zeros((1, tb), jnp.int32)
@@ -199,7 +206,7 @@ def _lis_kernel_body(m: int, tb: int, kmer_size: int, hc_max_dist: int):
             return lf, ls, prev_a2, bases, hc, kept
 
         _, _, _, bases, hc, kept = jax.lax.fori_loop(
-            0, m, filt, (z, z, z, z, z, z))
+            0, bound, filt, (z, z, z, z, z, z))
 
         # variance over the recorded gap differences (utils.cpp:36-55, f32)
         n = jnp.maximum(kept - 1, 0)
@@ -226,46 +233,57 @@ def _lis_kernel_body(m: int, tb: int, kmer_size: int, hc_max_dist: int):
 @functools.partial(jax.jit, static_argnames=("kmer_size", "hc_max_dist",
                                              "interpret"))
 def lis_filter_pallas(p1, p2, valid, kmer_size: int, hc_max_dist: int = 10,
-                      interpret: bool = False):
+                      interpret: bool = False, bound=None):
     """Fused LIS + filter + variance for [B, M] match lists.
 
     B must be a multiple of the lane tile.  Returns (bases, hc, n_dist, var)
     [B].  The lane tile shrinks with M so the six [M, TB] scratch arrays
     stay within VMEM (~8 MB budget): TB=512 up to M=512, 128 at M=2048.
+
+    ``bound``: optional [] or [1] int32 — max valid match count over the
+    batch; the three M-step scans truncate there (exact, see kernel note).
     """
     b, m = p1.shape
     vmem_tb = max(8, (8 << 20) // (24 * (m + 1)))
     tb = min(LIS_TB, b, _pow2_floor(vmem_tb))
     while b % tb:
         tb //= 2
+    if bound is None:
+        bound_arr = jnp.full((1,), m, jnp.int32)
+    else:
+        bound_arr = jnp.reshape(bound, (1,)).astype(jnp.int32)
     p1t = p1.T
     p2t = p2.T
     vt = valid.astype(jnp.int32).T
     grid = (b // tb,)
-    in_spec = pl.BlockSpec((m, tb), lambda j: (0, j), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, tb), lambda j: (0, j),
+    # PrefetchScalarGridSpec passes the scalar ref to every index_map
+    in_spec = pl.BlockSpec((m, tb), lambda j, _bnd: (0, j),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, tb), lambda j, _bnd: (0, j),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _lis_kernel_body(m, tb, kmer_size, hc_max_dist),
-        grid=grid,
-        in_specs=[in_spec, in_spec, in_spec],
-        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[in_spec, in_spec, in_spec],
+            out_specs=(out_spec, out_spec, out_spec, out_spec),
+            scratch_shapes=[
+                pltpu.VMEM((m + 1, tb), jnp.int32),
+                pltpu.VMEM((m + 1, tb), jnp.int32),
+                pltpu.VMEM((m, tb), jnp.int32),
+                pltpu.VMEM((m, tb), jnp.int32),
+                pltpu.VMEM((m, tb), jnp.int32),
+                pltpu.VMEM((m, tb), jnp.int32),
+            ]),
         out_shape=(jax.ShapeDtypeStruct((1, b), jnp.int32),
                    jax.ShapeDtypeStruct((1, b), jnp.int32),
                    jax.ShapeDtypeStruct((1, b), jnp.int32),
                    jax.ShapeDtypeStruct((1, b), jnp.float32)),
-        scratch_shapes=[
-            pltpu.VMEM((m + 1, tb), jnp.int32),
-            pltpu.VMEM((m + 1, tb), jnp.int32),
-            pltpu.VMEM((m, tb), jnp.int32),
-            pltpu.VMEM((m, tb), jnp.int32),
-            pltpu.VMEM((m, tb), jnp.int32),
-            pltpu.VMEM((m, tb), jnp.int32),
-        ],
         cost_estimate=pl.CostEstimate(
             flops=9 * b * m * (m + 1), bytes_accessed=b * m * 12,
             transcendentals=0),
         interpret=interpret,
-    )(p1t, p2t, vt)
+    )(bound_arr, p1t, p2t, vt)
     bases, hc, ndist, var = out
     return bases[0], hc[0], ndist[0], var[0]
