@@ -373,12 +373,18 @@ def tier_partition(rc_flat, counts_flat, c_pad, row_ids, col_ids, nk, lens,
     key = jnp.where(act, cls * (t + 1) + tierkey, INT32_MAX)
     # secondary count sort: within a (class, tier) route pairs ascend by
     # match count, so the blind score chunks are count-homogeneous and the
-    # LIS kernel's dynamic bound (see _score_body) stays tight per chunk
-    key_s, _cnt_s, rc_s = jax.lax.sort(
-        (key, jnp.clip(cnt, 0, INT32_MAX - 1), rc), num_keys=2,
-        is_stable=True)
+    # LIS kernel's dynamic bound (see _score_body) stays tight per chunk.
+    # Folded into ONE argsort key (a multi-operand lax.sort aborted XLA's
+    # CPU SPMD partitioner on a mesh): key <= n_classes*(t+1) is tiny, so
+    # key * 2048 + min(cnt, 2047) fits comfortably in int32; the 2047 clip
+    # only coarsens ordering above the largest M tier, where the bound is
+    # irrelevant (overflow pairs go to the host scorer)
+    comp = jnp.where(act, key * 2048 + jnp.minimum(cnt, 2047), INT32_MAX)
+    order = jnp.argsort(comp, stable=True).astype(jnp.int32)
+    key_s = jnp.where(jnp.take(comp, order) == INT32_MAX, INT32_MAX,
+                      jnp.take(comp, order) // 2048)
     keep = (key_s % (t + 1) != 0) & (key_s != INT32_MAX)
-    score_rc = jnp.where(keep, rc_s, -1)
+    score_rc = jnp.where(keep, jnp.take(rc, order), -1)
     score_rc = jnp.pad(score_rc, (0, CH_PAD), constant_values=-1)
     kk = jnp.arange(n_classes * (t + 1), dtype=jnp.int32)
     counts_mtx = (key[None, :] == kk[:, None]).sum(

@@ -94,8 +94,24 @@ def main():
           f"({n_reads / t_cluster:.0f} reads/s)  clusters={len(clusters)} "
           f"pure={pure}/{len(clusters)} "
           f"fallbacks={engine.n_oracle_fallbacks}", flush=True)
-    print(f"phases: {dict((k, round(v, 1)) for k, v in engine.phase_times.items())}",
-          flush=True)
+    phases = {k: round(v, 1) for k, v in engine.phase_times.items()}
+    print(f"phases: {phases}", flush=True)
+    mem = {}
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        mem = {k: v for k, v in ms.items()
+               if "bytes" in k and ("peak" in k or "use" in k or "limit" in k)}
+        print(f"device memory: {mem}", flush=True)
+    except Exception as exc:  # platform may not expose stats
+        print(f"device memory stats unavailable: {exc}", flush=True)
+    import json
+    print(json.dumps({
+        "n_reads": n_reads, "n_families": n_fam,
+        "sketch_s": round(t_sketch, 1), "cluster_s": round(t_cluster, 1),
+        "reads_per_s": round(n_reads / t_cluster, 1),
+        "clusters": len(clusters), "pure": pure,
+        "fallbacks": engine.n_oracle_fallbacks, "phases": phases,
+        "cache": "on" if engine.cache_n > 1 else "off", **mem}), flush=True)
 
 
 if __name__ == "__main__":
