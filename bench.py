@@ -320,10 +320,23 @@ def main():
             bench_correct(final, sample)
         except _Timeout:
             # a correct stage that cannot finish inside its budget is a
-            # FAILURE, not a footnote: flag it in the metric name
+            # FAILURE, not a footnote: flag it in the metric name — but
+            # still report the per-cause device/host stats of the groups
+            # that DID complete (on a degraded relay day the budget goes
+            # to per-variant first-dispatch stalls, docs/RELAY.md)
             log("correct-stage bench exceeded budget: CORRECT_TIMEOUT")
             REC.extras["correct_s"] = None
             REC.extras["correct_timeout"] = True
+            try:
+                from rattle_tpu.correct.tpu_runner import LAST_STATS as LS
+                from rattle_tpu.correct.pack_engine import PackEngine  # noqa: F401
+                from rattle_tpu.correct import tpu_runner as _tr
+                eng = _tr._PACK_ENGINE
+                if eng is not None:
+                    for k, v in eng.stats.items():
+                        REC.extras[f"partial_{k}"] = v
+            except Exception:  # noqa: BLE001 - reporting only
+                pass
         except Exception as exc:  # noqa: BLE001
             log(f"correct-stage bench failed: {type(exc).__name__}: {exc}")
             REC.extras["correct_error"] = f"{type(exc).__name__}: {exc}"
